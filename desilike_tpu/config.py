@@ -1,0 +1,46 @@
+"""Global configuration for desilike_tpu.
+
+TPU-first defaults: float32 compute (native MXU/VPU dtype), optional float64
+mode for CPU validation runs (reference desilike enables jax x64 globally,
+see /root/reference/desilike/jax.py:18 — here f64 is opt-in because TPUs
+emulate f64 in software).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DTYPE = jnp.float32
+
+
+def set_dtype(dtype):
+    """Set the global compute dtype ('float32' or 'float64').
+
+    'float64' also enables jax x64 mode; call before building pipelines.
+    """
+    global _DTYPE
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float64:
+        jax.config.update('jax_enable_x64', True)
+    _DTYPE = jnp.float64 if dtype == jnp.float64 else jnp.float32
+
+
+def get_dtype():
+    """Return the global compute dtype."""
+    return _DTYPE
+
+
+def asarray(x):
+    """Convert to a JAX array with the global compute dtype (float inputs only)."""
+    return jnp.asarray(x, dtype=_DTYPE)
+
+
+def nparray(x):
+    """Convert to a float64 numpy array (host-side precomputation precision)."""
+    return np.asarray(x, dtype='f8')
+
+
+if os.environ.get('DESILIKE_TPU_X64', '') in ('1', 'true', 'True'):
+    set_dtype('float64')

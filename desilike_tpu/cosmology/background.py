@@ -1,0 +1,252 @@
+"""Differentiable background cosmology in pure JAX.
+
+TPU-native replacement for the capability the reference gets from
+CLASS/CAMB via cosmoprimo (theories/primordial_cosmology.py:78): every
+quantity here is a pure function of a parameter dict, differentiable and
+vmap-safe (distances via fixed-order Gauss-Legendre quadrature, growth via an
+RK4 lax.scan — no data-dependent control flow).
+
+Conventions: distances in Mpc/h, k in h/Mpc, matching the reference's
+pipeline units. Growth is solved in a matter+Lambda(+w0wa) universe,
+neglecting radiation, which is the standard normalization convention for
+Eisenstein-Hu transfer functions.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+C_KMS = 299792.458            # speed of light [km/s]
+DH_100 = C_KMS / 100.0        # c / (100 km/s/Mpc) = 2997.92458 Mpc/h
+TNCDM = 0.71611               # T_ncdm / T_cmb (CLASS default)
+# neutrino density conversion: omega_nu = sum(m_nu) / 93.14 eV
+NEUTRINO_MASS_TO_OMEGA = 1. / 93.14
+
+
+DEFAULT_PARAMS = dict(
+    h=0.6736, omega_cdm=0.1200, omega_b=0.02237, logA=3.036394,
+    n_s=0.9649, tau_reio=0.0544, m_ncdm=0.06, N_ur=2.0328, N_ncdm=1,
+    Omega_k=0., w0_fde=-1., wa_fde=0., T_cmb=2.7255,
+)
+"""DESI fiducial cosmology (Planck 2018 base; matches cosmoprimo fiducial.DESI
+used throughout the reference, e.g. power_template.py:82 fiducial='DESI').
+logA = ln(10^10 A_s), A_s = 2.0830e-9."""
+
+
+def resolve(params=None):
+    """Fill a parameter dict with DESI-fiducial defaults; derive A_s."""
+    full = dict(DEFAULT_PARAMS)
+    full.update(params or {})
+    if 'A_s' not in full:
+        full['A_s'] = jnp.exp(full['logA']) * 1e-10
+    return full
+
+
+# --- densities ---
+
+def omega_gamma(p):
+    """Photon density omega_gamma = Omega_gamma h^2 from T_cmb."""
+    # rho_gamma/rho_crit100: 2.47282e-5 * (T/2.7255)^4
+    return 2.472805e-5 * (p['T_cmb'] / 2.7255) ** 4
+
+
+def omega_ur(p):
+    """Massless (ultra-relativistic) neutrino density omega_ur."""
+    return p['N_ur'] * (7. / 8.) * TNCDM ** 4 * omega_gamma(p)
+
+
+def omega_ncdm(p):
+    """Massive-neutrino density today (non-relativistic limit)."""
+    return p['m_ncdm'] * NEUTRINO_MASS_TO_OMEGA
+
+
+def _rho_ncdm_ratio(y):
+    """rho_ncdm(a) / rho_ncdm,massless(a) for y = m a / T_nu.
+
+    Fitting formula (Komatsu et al. 2011, eq. 26): accurate to ~0.1%
+    through the relativistic -> non-relativistic transition.
+    """
+    A = 0.3173
+    pexp = 1.83
+    return (1. + (A * y) ** pexp) ** (1. / pexp)
+
+
+def omega_ncdm_a(p, a):
+    """Massive-neutrino density omega_ncdm(a) * a^4 (radiation-like scaling out).
+
+    Returns the contribution to E^2(a) * a^4 * h^2, i.e. rho_ncdm(a)/rho_crit100 * a^4.
+    """
+    n = p.get('N_ncdm', 1)
+    if not n or np.ndim(p['m_ncdm']) == 0 and _is_zero(p['m_ncdm']):
+        return jnp.zeros_like(jnp.asarray(a))
+    per_species_massless = (7. / 8.) * TNCDM ** 4 * omega_gamma(p)
+    # y = m a / T_nu0 in natural units: T_nu0 = TNCDM * T_cmb; k_B T in eV:
+    # T_cmb = 2.7255 K -> 2.34865e-4 eV
+    t_nu_ev = TNCDM * p['T_cmb'] / 2.7255 * 2.7255 * 8.617333262e-5
+    m_per = p['m_ncdm'] / n
+    y = m_per * jnp.asarray(a) / t_nu_ev
+    return n * per_species_massless * _rho_ncdm_ratio(y)
+
+
+def _is_zero(x):
+    try:
+        return float(x) == 0.
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return False
+
+
+def omega_m(p):
+    """Total matter density omega_m = omega_cdm + omega_b + omega_ncdm (late-time)."""
+    return p['omega_cdm'] + p['omega_b'] + omega_ncdm(p)
+
+
+def omega_cb(p):
+    return p['omega_cdm'] + p['omega_b']
+
+
+def Omega_m(p):
+    return omega_m(p) / p['h'] ** 2
+
+
+def Omega_de(p):
+    h2 = p['h'] ** 2
+    return 1. - (omega_m(p) + omega_gamma(p) + omega_ur(p)) / h2 - p['Omega_k']
+
+
+def _f_de(p, a):
+    """Dark-energy density scaling for w0-wa (CPL): rho_de(a)/rho_de0."""
+    w0, wa = p['w0_fde'], p['wa_fde']
+    return a ** (-3. * (1. + w0 + wa)) * jnp.exp(-3. * wa * (1. - a))
+
+
+def efunc_of_a(p, a):
+    """E(a) = H(a)/H0 including radiation and massive neutrinos."""
+    a = jnp.asarray(a)
+    h2 = p['h'] ** 2
+    ocb = omega_cb(p)
+    og = omega_gamma(p) + omega_ur(p)
+    oncdm_a4 = omega_ncdm_a(p, a)  # ~ radiation early, ~ matter * a late
+    E2 = (ocb * a ** -3 + og * a ** -4 + oncdm_a4 * a ** -4) / h2 \
+        + p['Omega_k'] * a ** -2 + Omega_de(p) * _f_de(p, a)
+    return jnp.sqrt(E2)
+
+
+def efunc(p, z):
+    """E(z) = H(z)/H0."""
+    return efunc_of_a(p, 1. / (1. + jnp.asarray(z)))
+
+
+_GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(64)
+
+
+def comoving_radial_distance(p, z):
+    """D_C(z) = c/H0 * int_0^z dz'/E(z'), in Mpc/h. Fixed 64-node GL quadrature."""
+    z = jnp.asarray(z)
+    # map nodes to [0, z]: z' = z (x+1)/2
+    x = jnp.asarray(_GL_NODES)
+    w = jnp.asarray(_GL_WEIGHTS)
+    zp = z[..., None] * (x + 1.) / 2.
+    integ = jnp.sum(w / efunc(p, zp), axis=-1) * z / 2.
+    return DH_100 * integ
+
+
+def hubble_distance(p, z):
+    """D_H(z) = c/H(z) in Mpc/h."""
+    return DH_100 / efunc(p, z)
+
+
+def comoving_angular_distance(p, z):
+    """D_M(z): transverse comoving distance with curvature, Mpc/h."""
+    dc = comoving_radial_distance(p, z)
+    ok = p['Omega_k']
+    sqrt_ok = jnp.sqrt(jnp.abs(ok) + 1e-15)
+    x = sqrt_ok * dc / DH_100
+    open_ = DH_100 / sqrt_ok * jnp.sinh(x)
+    closed = DH_100 / sqrt_ok * jnp.sin(x)
+    flat = dc
+    return jnp.where(jnp.asarray(ok) > 1e-8, open_,
+                     jnp.where(jnp.asarray(ok) < -1e-8, closed, flat))
+
+
+# --- growth (matter + DE only; EH normalization convention) ---
+
+_GROWTH_LNA = np.linspace(np.log(1e-3), 0., 256)
+
+
+def _growth_ode_scan(p):
+    """Integrate D'' + (2 + dlnH/dlna) D' = (3/2) Om(a) D with RK4 over ln a.
+
+    Returns (lna grid, D(lna), dD/dlna). Initial conditions deep in matter
+    domination: D = a, D' = a.
+    """
+    om0 = omega_m(p) / p['h'] ** 2
+    ok0 = p['Omega_k']
+    ode0 = Omega_de(p)
+
+    def E2g(a):
+        return om0 * a ** -3 + ok0 * a ** -2 + ode0 * _f_de(p, a)
+
+    def dlnH_dlna(a):
+        # d ln E / d ln a = a/(2 E^2) dE^2/da
+        w0, wa = p['w0_fde'], p['wa_fde']
+        dfde = _f_de(p, a) * (-3. * (1. + w0 + wa) / a + 3. * wa)
+        dE2 = -3. * om0 * a ** -4 - 2. * ok0 * a ** -3 + ode0 * dfde
+        return a * dE2 / (2. * E2g(a))
+
+    def om_a(a):
+        return om0 * a ** -3 / E2g(a)
+
+    lna = jnp.asarray(_GROWTH_LNA)
+    dx = float(_GROWTH_LNA[1] - _GROWTH_LNA[0])
+
+    def rhs(state, lna_val):
+        D, Dp = state
+        a = jnp.exp(lna_val)
+        return jnp.array([Dp, -(2. + dlnH_dlna(a)) * Dp + 1.5 * om_a(a) * D])
+
+    a0 = float(np.exp(_GROWTH_LNA[0]))
+    y0 = jnp.array([a0, a0])
+
+    def step(y, lna_val):
+        k1 = rhs(y, lna_val)
+        k2 = rhs(y + 0.5 * dx * k1, lna_val + 0.5 * dx)
+        k3 = rhs(y + 0.5 * dx * k2, lna_val + 0.5 * dx)
+        k4 = rhs(y + dx * k3, lna_val + dx)
+        ynew = y + dx / 6. * (k1 + 2 * k2 + 2 * k3 + k4)
+        return ynew, ynew
+
+    _, ys = lax.scan(step, y0, lna[:-1])
+    D = jnp.concatenate([y0[:1], ys[:, 0]])
+    Dp = jnp.concatenate([y0[1:], ys[:, 1]])
+    return lna, D, Dp
+
+
+def growth_factor(p, z, normalize='z0'):
+    """Linear growth D(z); normalize='z0' -> D(0)=1, 'md' -> D ~ a in MD."""
+    lna, D, Dp = _growth_ode_scan(p)
+    lnaq = -jnp.log1p(jnp.asarray(z))
+    Dq = jnp.interp(lnaq, lna, D)
+    if normalize == 'z0':
+        return Dq / D[-1]
+    return Dq
+
+
+def growth_rate(p, z):
+    """f(z) = dlnD/dlna."""
+    lna, D, Dp = _growth_ode_scan(p)
+    lnaq = -jnp.log1p(jnp.asarray(z))
+    return jnp.interp(lnaq, lna, Dp / D)
+
+
+# --- sound horizon at the drag epoch ---
+
+def rs_drag(p):
+    """r_d in Mpc/h from the Aubourg et al. 2015 fit (eq. 16, arXiv:1411.1074):
+    accurate to ~0.02% vs CAMB over standard parameter ranges.
+    """
+    o_nu = omega_ncdm(p)
+    o_cb = omega_cb(p)
+    o_b = p['omega_b']
+    rd_mpc = 55.154 * jnp.exp(-72.3 * (o_nu + 0.0006) ** 2) / (o_cb ** 0.25351 * o_b ** 0.12807)
+    return rd_mpc * p['h']

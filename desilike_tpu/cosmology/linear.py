@@ -1,0 +1,111 @@
+"""Linear power spectrum: EH98-based differentiable backend + tabulated input.
+
+Replaces the capability the reference obtains from cosmoprimo's Fourier
+sections (power_template.py:54-66 ``_set_base``): pk_dd (delta_cb), pk_tt
+(theta_cb, via scale-independent growth f^2 * pk_dd), sigma8/sigma_r,
+growth rate f, and the no-wiggle (BAO-filtered) spectrum.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import background as bg
+from . import eh
+
+
+KPIVOT_MPC = 0.05  # primordial pivot, 1/Mpc
+
+
+def primordial_curvature(p, k):
+    """Dimensionless curvature power Delta_R^2(k) = A_s (k/kp)^(ns-1); k in h/Mpc."""
+    kp = KPIVOT_MPC / p['h']
+    return p['A_s'] * (jnp.asarray(k) / kp) ** (p['n_s'] - 1.)
+
+
+def pk_lin(p, k, z=0., nowiggle=False):
+    """Linear matter power spectrum P(k, z) in (Mpc/h)^3.
+
+    delta(k, a) = (2 c^2 k^2)/(5 Om H0^2) T(k) D_md(a) R(k) with D_md ~ a in
+    matter domination, giving
+    P(k,z) = (8 pi^2 / 25) A_s (k/kp)^{ns-1} k T^2(k) D^2(z) / (Om^2 (H0/c)^4).
+    """
+    k = jnp.asarray(k)
+    T = eh.transfer_nowiggle(p, k) if nowiggle else eh.transfer(p, k)
+    D = bg.growth_factor(p, z, normalize='md')
+    om = bg.Omega_m(p)
+    h0_c = 1. / bg.DH_100  # h/Mpc
+    amp = (8. * np.pi ** 2 / 25.) * primordial_curvature(p, k) / (om ** 2 * h0_c ** 4)
+    return amp * k * T ** 2 * D ** 2
+
+
+_SIGMA_K = np.geomspace(1e-5, 50., 1024)
+_SIGMA_LNK_W = None
+
+
+def _sigma_weights():
+    global _SIGMA_LNK_W
+    if _SIGMA_LNK_W is None:
+        lnk = np.log(_SIGMA_K)
+        w = np.zeros_like(lnk)
+        d = np.diff(lnk)
+        w[:-1] += d / 2.
+        w[1:] += d / 2.
+        _SIGMA_LNK_W = w
+    return _SIGMA_LNK_W
+
+
+def tophat_window(x):
+    """Fourier transform of the spherical tophat: 3 (sin x - x cos x)/x^3."""
+    x = jnp.asarray(x)
+    xs = jnp.where(x < 1e-3, 1e-3, x)
+    w = 3. * (jnp.sin(xs) - xs * jnp.cos(xs)) / xs ** 3
+    # series for small x: 1 - x^2/10
+    return jnp.where(x < 1e-3, 1. - x * x / 10., w)
+
+
+def sigma_r(p, r, z=0., pk_func=None):
+    """sigma(R, z): rms of matter fluctuations in spheres of radius R Mpc/h."""
+    k = jnp.asarray(_SIGMA_K)
+    pk = pk_lin(p, k, z) if pk_func is None else pk_func(k)
+    w = tophat_window(k * r)
+    integ = jnp.sum(jnp.asarray(_sigma_weights()) * k ** 3 * pk * w ** 2)
+    return jnp.sqrt(integ / (2. * np.pi ** 2))
+
+
+def sigma8(p, z=0.):
+    return sigma_r(p, 8., z)
+
+
+def smoothing_matrix(lnk, sigma=0.25):
+    """Gaussian smoothing matrix over ln k (static, row-normalized).
+
+    Used by the no-wiggle filter: a single (nk, nk) matmul per evaluation,
+    differentiable, MXU-friendly when batched.
+    """
+    lnk = np.asarray(lnk, dtype='f8')
+    d = lnk[:, None] - lnk[None, :]
+    w = np.exp(-0.5 * (d / sigma) ** 2)
+    w /= w.sum(axis=1, keepdims=True)
+    return w
+
+
+class NoWiggleFilter:
+    """BAO wiggle/no-wiggle split: TPU-native 'peakaverage' equivalent.
+
+    Replaces cosmoprimo.PowerSpectrumBAOFilter (reference power_template.py:4).
+    Method: divide pk by the analytic EH98 no-wiggle shape, smooth the ratio
+    in ln k with a fixed Gaussian kernel matrix (so the broadband, which is
+    slowly varying, passes through while the BAO oscillations average out),
+    and multiply back. Fully jit/grad-safe: the kernel matrix is static.
+    """
+
+    def __init__(self, k, sigma=0.25):
+        self.k = np.asarray(k, dtype='f8')
+        self._smooth = smoothing_matrix(np.log(self.k), sigma=sigma)
+
+    def __call__(self, pk, pk_nw_ref):
+        """pk: (..., nk) wiggly spectrum; pk_nw_ref: (..., nk) smooth reference
+        shape (e.g. EH98 no-wiggle, any normalization). Returns pknow."""
+        ratio = pk / pk_nw_ref
+        smooth = jnp.einsum('ij,...j->...i', jnp.asarray(self._smooth, dtype=pk.dtype), ratio)
+        return smooth * pk_nw_ref

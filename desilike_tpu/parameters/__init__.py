@@ -1,0 +1,3 @@
+from .prior import Prior
+from .parameter import Parameter, ParameterCollection, Deriv
+from .samples import Samples, DerivArray
