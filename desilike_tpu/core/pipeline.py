@@ -1,0 +1,191 @@
+"""Pipeline: topologically-ordered calculator graph compiled to one XLA program.
+
+Counterpart of the reference's ``BasePipeline`` (base.py:387-572), with the
+dirty-flag memoization replaced by whole-graph fusion: the per-evaluation
+walk is a pure function ``values -> (result, derived)`` traced once and
+compiled; XLA's CSE/fusion supersedes per-node recompute tracking
+(SURVEY.md §7 design note).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import BaseClass, evaluate as safe_evaluate
+from ..parameters import Parameter, ParameterCollection
+from .calculator import Calculator
+
+
+class Pipeline(BaseClass):
+    """Builds and evaluates the calculator graph rooted at ``root``."""
+
+    def __init__(self, root):
+        self.root = root
+        self.calculators = []
+
+        def callback(calc):
+            calc.runtime_info.initialize()
+            if calc in self.calculators:
+                # move to front (dependencies of multiple nodes)
+                self.calculators.remove(calc)
+            self.calculators.append(calc)
+            for req in calc.runtime_info.requires:
+                callback(req)
+
+        callback(root)
+        self.calculators = self.calculators[::-1]  # dependencies first
+        self._set_params()
+        self._compiled = {}
+
+    def _stale(self):
+        return any((not c.runtime_info.initialized) or c.init._updated
+                   for c in self.calculators)
+
+    def _set_params(self):
+        params = ParameterCollection()
+        self._param_owners = {}
+        for calc in self.calculators:
+            for param in calc.runtime_info.params:
+                if param.name in params:
+                    existing = params[param.name]
+                    # merge: prefer the declaration with an explicit prior
+                    if existing.prior is None and param.prior is not None:
+                        params.set(param)
+                else:
+                    params.set(param)
+                self._param_owners.setdefault(param.name, []).append(calc)
+        self.params = params
+
+    # --- parameter views ---
+
+    @property
+    def varied_params(self):
+        """Sampled parameters: varied, not solved, not derived-by-expression."""
+        return ParameterCollection([p for p in self.params
+                                    if p.varied and not p.solved and not p.depends])
+
+    @property
+    def solved_params(self):
+        return ParameterCollection([p for p in self.params if p.solved])
+
+    @property
+    def derived_params(self):
+        return ParameterCollection([p for p in self.params if p.derived is True])
+
+    def input_defaults(self):
+        """Default values for every input parameter (fixed + varied + solved)."""
+        values = {}
+        for p in self.params:
+            if p.derived is True:
+                continue
+            values[p.name] = p.value
+        return values
+
+    # --- evaluation ---
+
+    def _resolve_values(self, values):
+        """Overlay user values on defaults; evaluate derived expressions."""
+        full = self.input_defaults()
+        for name, value in values.items():
+            if name in full:
+                full[name] = value
+            else:
+                # allow basename shortcut if unique
+                matches = [p.name for p in self.params if p.basename == name]
+                if len(matches) == 1:
+                    full[matches[0]] = value
+                elif len(matches) > 1:
+                    raise ValueError('ambiguous parameter {}: {}'.format(name, matches))
+                else:
+                    raise ValueError('unknown parameter {}'.format(name))
+        # derived expressions '{a}+{b}' (reference parameter.py:1872 eval)
+        pending = [p for p in self.params if p.depends]
+        for _ in range(len(pending) + 1):
+            progress = False
+            for p in list(pending):
+                deps = {}
+                ok = True
+                for dep in p.depends:
+                    key = dep if dep in full else None
+                    if key is None:
+                        matches = [q.name for q in self.params if q.basename == dep and q.name in full]
+                        key = matches[0] if len(matches) == 1 else None
+                    if key is None or any(q.name == key and q.depends for q in pending):
+                        ok = False
+                        break
+                    deps[dep] = full[key]
+                if ok:
+                    expr = p.derived
+                    locs = {}
+                    for i, (dep, val) in enumerate(deps.items()):
+                        var = '__dep{}__'.format(i)
+                        expr = expr.replace('{' + dep + '}', var)
+                        locs[var] = val
+                    full[p.name] = safe_evaluate(expr, locals=locs)
+                    pending.remove(p)
+                    progress = True
+            if not pending:
+                break
+            if not progress:
+                raise ValueError('circular derived-parameter dependencies: {}'.format(
+                    [p.name for p in pending]))
+        return full
+
+    def run_once(self, full_values):
+        """Pure per-evaluation walk. ``full_values``: every input param value.
+
+        Returns (root_get, derived dict of full-name -> value).
+        """
+        for calc in self.calculators:
+            cvals = {}
+            for p in calc.runtime_info.params:
+                if p.derived is True or p.drop:
+                    continue
+                cvals[p.basename] = full_values[p.name]
+            calc.calculate(**cvals)
+        derived = {}
+        for calc in self.calculators:
+            for p in calc.runtime_info.params:
+                if p.derived is True and hasattr(calc, p.basename):
+                    derived[p.name] = getattr(calc, p.basename)
+        return self.root.get(), derived
+
+    def evaluate(self, values=None):
+        """Eager evaluation (debug/introspection path): attributes on the
+        calculators are left as concrete arrays."""
+        full = self._resolve_values(values or {})
+        full = {k: jnp.asarray(v) for k, v in full.items()}
+        result, self.derived = self.run_once(full)
+        return result
+
+    def logprior(self, values):
+        """Sum of log priors of varied params at given (resolved) values."""
+        logp = jnp.zeros(())
+        for p in self.varied_params:
+            if p.prior is not None:
+                logp = logp + p.prior.logpdf(values[p.name])
+        return logp
+
+    # --- compiled entry points ---
+
+    def get_fn(self):
+        """Jitted pure fn: {varied name: value} -> root.get()."""
+        if 'get' not in self._compiled:
+            def fn(values):
+                full = self._resolve_values(values)
+                result, _ = self.run_once(full)
+                return result
+            self._compiled['get'] = jax.jit(fn)
+        return self._compiled['get']
+
+    def states_fn(self):
+        """Jitted pure fn: values -> (root result, derived dict, states dict)."""
+        if 'states' not in self._compiled:
+            def fn(values):
+                full = self._resolve_values(values)
+                result, derived = self.run_once(full)
+                states = {c.runtime_info.name + ':' + str(i): c.__getstate__()
+                          for i, c in enumerate(self.calculators)}
+                return result, derived, states
+            self._compiled['states'] = jax.jit(fn)
+        return self._compiled['states']

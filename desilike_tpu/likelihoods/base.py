@@ -1,0 +1,274 @@
+"""Likelihoods: Gaussian likelihood + analytic marginalization over linear
+nuisance parameters.
+
+Counterpart of reference likelihoods/base.py. The reference's FastFisher
+(likelihoods/base.py:21-200) re-runs a copied sub-pipeline under jax.jacfwd
+per evaluation; here the solve is fused into the single traced posterior:
+
+  1. run the pipeline once at the solved params' expansion point via
+     ``jax.linearize`` -> whitened residuals d_i and a jvp closure,
+  2. push the nsolved basis tangents (vmapped) -> design matrices J_i,
+  3. Newton solve dx = -H^{-1} g with H = prior_hess - sum_i J_i J_i^T,
+     g = prior_grad - sum_i J_i d_i (whitened space: precision = identity),
+  4. loglike += 1/2 dx^T H_i dx + g_i . dx per likelihood ('.best'/'.marg'),
+     plus -1/2 logdet(-H_marg) for '.marg' parameters
+     (matches reference _solve, likelihoods/base.py:314-413).
+
+Data covariances are Cholesky-whitened host-side in float64 (with the
+Hartlap 2007 factor when estimated from mocks), so the traced path is
+float32-stable.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import Calculator
+from ..parameters import Parameter, ParameterCollection
+from ..ops.linalg import whiten_factor
+from ..utils import is_sequence
+
+
+class BaseLikelihood(Calculator):
+    """Base likelihood: get() returns log-posterior; derived loglikelihood/logprior."""
+
+    _params = {'loglikelihood': dict(derived=True, latex=r'\ln\mathcal{L}'),
+               'logprior': dict(derived=True, latex=r'\ln p')}
+    solved_default = '.marg'
+    name = None
+
+    @property
+    def likelihoods(self):
+        return [self]
+
+    def get(self):
+        return self.loglikelihood
+
+    def __add__(self, other):
+        return SumLikelihood(likelihoods=self.likelihoods + other.likelihoods)
+
+    # --- compiled posterior with analytic marginalization ---
+
+    def _solved_setup(self, pipe):
+        solved = pipe.solved_params
+        names = solved.names()
+        marg_idx, best_idx = [], []
+        loc = np.zeros(len(names))
+        prec = np.zeros(len(names))
+        for i, p in enumerate(solved):
+            status = p.derived.split('_not_derived')[0]
+            if status == '.auto':
+                status = self.solved_default
+            if status == '.marg':
+                marg_idx.append(i)
+            elif status == '.best':
+                best_idx.append(i)
+            elif status == '.prec':
+                marg_idx.append(i)  # .prec folding not yet specialized; treated as .marg
+            if p.prior is not None and p.prior.dist == 'norm':
+                loc[i] = p.prior.loc
+                prec[i] = p.prior.scale ** -2
+        return names, solved, np.array(marg_idx, dtype='i4'), loc, prec
+
+    def logpost_fn(self, jit=True):
+        """Pure function {varied name: value} -> (logposterior, aux dict).
+
+        aux contains 'loglikelihood', 'logprior', derived parameters, and for
+        solved parameters their analytic best-fit values 'solved' and the
+        posterior hessian 'solved_hessian' (for Chain.sample_solved).
+        """
+        pipe = self.pipeline
+        names, solved, marg_idx, prior_loc, prior_prec = self._solved_setup(pipe)
+        likelihoods = self.likelihoods
+        nsolved = len(names)
+
+        def fn(values):
+            full = pipe._resolve_values(values)
+            aux = {}
+            if nsolved == 0:
+                _, derived = pipe.run_once(full)
+                loglike = sum(like.loglikelihood for like in likelihoods)
+                logprior = pipe.logprior(full)
+                aux.update(derived)
+                aux['loglikelihood'] = loglike
+                aux['logprior'] = logprior
+                return loglike + logprior, aux
+
+            s0 = jnp.stack([jnp.asarray(full[n], dtype=jnp.result_type(float)) for n in names])
+
+            def inner(svec):
+                f2 = dict(full)
+                f2.update(zip(names, svec))
+                _, derived = pipe.run_once(f2)
+                diffs = tuple(like.flatdiff_white for like in likelihoods
+                              if hasattr(like, 'flatdiff_white'))
+                return diffs, derived
+
+            (diffs, derived), jvp = jax.linearize(inner, s0)
+            basis = jnp.eye(nsolved, dtype=s0.dtype)
+            Js = jax.vmap(lambda t: jvp(t)[0])(basis)  # tuple of (nsolved, ndata_i)
+
+            prior_grad = -jnp.asarray(prior_prec) * (s0 - jnp.asarray(prior_loc))
+            prior_hess = -jnp.diag(jnp.asarray(prior_prec))
+            g = prior_grad
+            H = prior_hess
+            like_g, like_H = [], []
+            for J, d in zip(Js, diffs):
+                gi = -J @ d
+                Hi = -J @ J.T
+                like_g.append(gi)
+                like_H.append(Hi)
+                g = g + gi
+                H = H + Hi
+            # Jacobi equilibration: the solved basis (e.g. broadband powers
+            # k^-3..k^1) can be wildly scaled; rescaling by sqrt(diag(-H))
+            # reduces the condition number to that of the correlation matrix,
+            # keeping the Newton solve float32-stable on TPU.
+            scale = 1. / jnp.sqrt(jnp.clip(-jnp.diag(H), 1e-30, None))
+            Hs = H * scale[:, None] * scale[None, :]
+            dxs = -jnp.linalg.solve(Hs, g * scale)
+            dx = scale * dxs
+            x = s0 + dx
+
+            loglike = jnp.zeros(())
+            iw = 0
+            for like in likelihoods:
+                if hasattr(like, 'flatdiff_white'):
+                    d = diffs[iw]
+                    ll = -0.5 * d @ d
+                    ll = ll + 0.5 * dx @ like_H[iw] @ dx + like_g[iw] @ dx
+                    iw += 1
+                else:
+                    ll = like.loglikelihood
+                loglike = loglike + ll
+            if marg_idx.size:
+                midx = jnp.asarray(marg_idx)
+                # logdet in the equilibrated basis + scale correction:
+                # logdet(-H_m) = logdet(-Hs_m) - 2 sum(log scale_m)
+                Hsm = Hs[jnp.ix_(midx, midx)]
+                logdet = jnp.linalg.slogdet(-Hsm)[1] - 2. * jnp.sum(jnp.log(scale[midx]))
+                loglike = loglike - 0.5 * logdet
+
+            logprior = pipe.logprior(full)
+            for i, p in enumerate(solved):
+                if p.prior is not None:
+                    logprior = logprior + p.prior.logpdf(x[i])
+
+            aux.update(derived)
+            aux['loglikelihood'] = loglike
+            aux['logprior'] = logprior
+            aux['solved'] = dict(zip(names, x))
+            aux['solved_hessian'] = H
+            return loglike + logprior, aux
+
+        return jax.jit(fn) if jit else fn
+
+    def logpost(self, **values):
+        """Convenience scalar evaluation."""
+        fn = self.__dict__.setdefault('_logpost_fn', self.logpost_fn())
+        values = {k: jnp.asarray(v) for k, v in values.items()}
+        out, _ = fn(values)
+        return out
+
+
+class BaseGaussianLikelihood(BaseLikelihood):
+    r"""Gaussian likelihood of a flat data vector.
+
+    loglike = -1/2 (t - d)^T C^{-1} (t - d), computed on the whitened
+    residual (reference likelihoods/base.py:465).
+    """
+
+    def initialize(self, data=None, covariance=None, precision=None, **kwargs):
+        super_init = getattr(super(), 'initialize', None)
+        self.flatdata = np.ravel(np.asarray(data, dtype='f8'))
+        if precision is not None:
+            precision = np.atleast_2d(np.asarray(precision, dtype='f8'))
+            covariance = np.linalg.inv(precision)
+        if covariance is None:
+            raise ValueError('provide covariance or precision')
+        covariance = np.atleast_2d(np.asarray(covariance, dtype='f8'))
+        self._set_whitening(covariance)
+
+    def _set_whitening(self, covariance, hartlap=1.):
+        self.covariance = covariance
+        self.precision = np.linalg.inv(covariance) * hartlap
+        self._whiten = whiten_factor(covariance) * np.sqrt(hartlap)
+
+    def flattheory(self):
+        raise NotImplementedError
+
+    def calculate(self, **params):
+        diff = self.flattheory() - jnp.asarray(self.flatdata)
+        self.flatdiff = diff
+        self.flatdiff_white = jnp.asarray(self._whiten, dtype=diff.dtype) @ diff
+        self.loglikelihood = -0.5 * self.flatdiff_white @ self.flatdiff_white
+
+    @property
+    def size(self):
+        return len(self.flatdata)
+
+
+class ObservablesGaussianLikelihood(BaseGaussianLikelihood):
+    """Gaussian likelihood over a list of observables
+    (reference likelihoods/base.py:504).
+
+    covariance: explicit matrix, or None -> from observables (mocks or
+    attached covariance) or computed analytically from ``footprints``.
+    Hartlap 2007 factor applied when the covariance is mock-estimated.
+    """
+
+    def initialize(self, observables=None, covariance=None, footprints=None,
+                   scale_covariance=1., name=None, **kwargs):
+        if not is_sequence(observables):
+            observables = [observables]
+        self.observables = list(observables)
+        self.name = name
+        for obs in self.observables:
+            obs.runtime_info.initialize()
+        nobs = [len(obs.flatdata) for obs in self.observables]
+        self.flatdata = np.concatenate([obs.flatdata for obs in self.observables])
+        nmocks = 0
+        if covariance is None:
+            covs = [obs.covariance for obs in self.observables]
+            if all(c is not None for c in covs):
+                covariance = np.zeros((sum(nobs), sum(nobs)))
+                start = 0
+                for c, n in zip(covs, nobs):
+                    covariance[start:start + n, start:start + n] = c
+                    start += n
+                nmocks = min((obs.nmocks for obs in self.observables if obs.nmocks), default=0)
+            elif footprints is not None:
+                from ..observables.covariance import ObservablesCovarianceMatrix
+                covariance = ObservablesCovarianceMatrix(self.observables, footprints=footprints)()
+            else:
+                raise ValueError('provide covariance, observables with covariance/mocks, or footprints')
+        covariance = np.atleast_2d(np.asarray(covariance, dtype='f8')) * scale_covariance
+        hartlap = 1.
+        if nmocks:
+            hartlap = (nmocks - len(self.flatdata) - 2.) / (nmocks - 1.)
+            if hartlap <= 0:
+                raise ValueError('too few mocks ({}) for data size {}'.format(nmocks, len(self.flatdata)))
+        self.hartlap = hartlap
+        self._set_whitening(covariance, hartlap=hartlap)
+
+    def flattheory(self):
+        return jnp.concatenate([obs.flattheory for obs in self.observables])
+
+    def calculate(self, **params):
+        super().calculate(**params)
+
+
+class SumLikelihood(BaseLikelihood):
+    """Sum of independent likelihoods (reference likelihoods/base.py:715)."""
+
+    def initialize(self, likelihoods=None, **kwargs):
+        if not is_sequence(likelihoods):
+            likelihoods = [likelihoods]
+        self._likelihoods = list(likelihoods)
+
+    @property
+    def likelihoods(self):
+        return list(self._likelihoods)
+
+    def calculate(self, **params):
+        self.loglikelihood = sum(like.loglikelihood for like in self._likelihoods)

@@ -1,0 +1,5 @@
+from .window import (WindowedPowerSpectrumMultipoles, WindowedCorrelationFunctionMultipoles,
+                     window_matrix_bininteg, matrix_lininterp)
+from .power_spectrum import TracerPowerSpectrumMultipolesObservable
+from .covariance import (BaseFootprint, BoxFootprint, CutskyFootprint,
+                         ObservablesCovarianceMatrix, integral_legendre_product)

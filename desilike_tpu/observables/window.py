@@ -1,0 +1,230 @@
+"""Window-matrix convolution of theory multipoles.
+
+Counterpart of reference observables/galaxy_clustering/window.py:14-535.
+The per-evaluation path is one fused matmul: flat theory vector (nell*nkin)
+-> W @ p (+ offset) -> masked flat data vector. W is assembled host-side in
+float64 from (a) k-masking, (b) bin-integration in the continuous limit, or
+(c) a user-provided matrix with input grid.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import Calculator
+
+
+def matrix_lininterp(xout, xin):
+    """(nout, nin) linear-interpolation matrix: f(xout) ~= M @ f(xin)."""
+    xout = np.asarray(xout, dtype='f8')
+    xin = np.asarray(xin, dtype='f8')
+    M = np.zeros((xout.size, xin.size), dtype='f8')
+    idx = np.clip(np.searchsorted(xin, xout, side='right') - 1, 0, xin.size - 2)
+    x0 = xin[idx]
+    x1 = xin[idx + 1]
+    t = np.clip((xout - x0) / (x1 - x0), 0., 1.)
+    M[np.arange(xout.size), idx] = 1. - t
+    M[np.arange(xout.size), idx + 1] = t
+    return M
+
+
+def window_matrix_bininteg(list_edges, resolution=1):
+    r"""Bin-integration window in the continuous limit (reference window.py:14):
+    each output bin is \int dx x^2 f(x) / \int dx x^2 over the bin, evaluated
+    at ``resolution`` volume-weighted points per bin and referred back to a
+    common fine input grid by linear interpolation.
+
+    Returns (xin, full_matrix with shape (sum_l nbins_l, nells * nin)).
+    """
+    resolution = int(resolution)
+    if resolution <= 0:
+        raise ValueError('resolution must be positive')
+    if np.ndim(list_edges[0]) == 0:
+        list_edges = [list_edges]
+    list_edges = [np.asarray(e, dtype='f8') for e in list_edges]
+    # edges given as (nbins, 2) pairs or 1D array of edges
+    list_edges = [np.column_stack([e[:-1], e[1:]]) if e.ndim == 1 else e for e in list_edges]
+
+    step = min((e[:, 1] - e[:, 0]).min() for e in list_edges) / resolution
+    start = min(e.min() for e in list_edges)
+    stop = max(e.max() for e in list_edges)
+    edgesin = np.arange(start, stop + step / 2., step)
+    # volume-weighted centers: 3/4 (x1^4 - x0^4)/(x1^3 - x0^3)
+    xin = 0.75 * (edgesin[1:] ** 4 - edgesin[:-1] ** 4) / (edgesin[1:] ** 3 - edgesin[:-1] ** 3)
+
+    mats = []
+    for edges in list_edges:
+        xs, ws = [], []
+        nbins = len(edges)
+        for ibin, (lo, hi) in enumerate(edges):
+            sub = np.linspace(lo, hi, resolution + 1)
+            xs.append(0.75 * (sub[1:] ** 4 - sub[:-1] ** 4) / (sub[1:] ** 3 - sub[:-1] ** 3))
+            vol = sub[1:] ** 3 - sub[:-1] ** 3
+            line = np.zeros(nbins * resolution)
+            line[ibin * resolution:(ibin + 1) * resolution] = vol / vol.sum()
+            ws.append(line)
+        # (nbins, npoints) @ (npoints, nin) -> (nbins, nin)
+        mats.append(np.stack(ws) @ matrix_lininterp(np.concatenate(xs), xin))
+    nells = len(mats)
+    rows = []
+    for i, mat in enumerate(mats):
+        blockrow = [mat if j == i else np.zeros_like(mats[j]) for j in range(nells)]
+        rows.append(blockrow)
+    full = np.block(rows)  # (sum nbins, nells * nin)
+    return xin, full
+
+
+class WindowedPowerSpectrumMultipoles(Calculator):
+    """Window-convolved theory P_l(k) (reference window.py:151).
+
+    Parameters
+    ----------
+    klim : dict ell -> (kmin, kmax[, step]) or None
+        Output limits/binning per multipole.
+    k : array or dict ell -> array
+        Output k centers (alternative to klim).
+    wmatrix : None, {'resolution': n}, or (kin, matrix) tuple
+        Window specification: None = evaluate theory directly at output k;
+        resolution = continuous bin-integration; explicit matrix with its
+        input theory grid.
+    theory : theory multipoles calculator
+    shotnoise : float
+        Shot noise subtracted at ell=0 (added to theory before windowing).
+    """
+
+    def initialize(self, klim=None, k=None, ells=None, wmatrix=None, theory=None,
+                   kinlim=None, shotnoise=0., fiber_collisions=None, systematic_templates=None):
+        if theory is None:
+            from ..theories.full_shape import KaiserTracerPowerSpectrumMultipoles
+            theory = KaiserTracerPowerSpectrumMultipoles()
+        self.theory = theory
+
+        # resolve output grids
+        if klim is not None:
+            self.ells = tuple(sorted(klim.keys()))
+            self.kedges, self.k = [], []
+            for ell in self.ells:
+                lim = klim[ell]
+                step = lim[2] if len(lim) > 2 else 0.005
+                edges = np.arange(lim[0], lim[1] + step / 2., step)
+                self.kedges.append(np.column_stack([edges[:-1], edges[1:]]))
+                self.k.append((edges[:-1] + edges[1:]) / 2.)
+        else:
+            if k is None:
+                k = np.linspace(0.01, 0.2, 39)
+            if ells is None:
+                ells = (0, 2, 4)
+            self.ells = tuple(ells)
+            k = [np.asarray(k, dtype='f8')] * len(self.ells) if np.ndim(k[0]) == 0 else [np.asarray(kk) for kk in k]
+            self.k = k
+            self.kedges = []
+            for kk in self.k:
+                edges = np.concatenate([[kk[0] - (kk[1] - kk[0]) / 2.],
+                                        (kk[1:] + kk[:-1]) / 2.,
+                                        [kk[-1] + (kk[-1] - kk[-2]) / 2.]])
+                self.kedges.append(np.column_stack([edges[:-1], edges[1:]]))
+
+        self.shotnoise = float(shotnoise)
+        self._set_matrix(wmatrix, kinlim)
+        self.theory.init.update(k=self.kin, ells=self.ells)
+
+    def _set_matrix(self, wmatrix, kinlim):
+        if wmatrix is None:
+            # direct evaluation on volume-weighted bin centers
+            xin, full = window_matrix_bininteg([e for e in self.kedges], resolution=1)
+            self.kin = xin
+            self.wmatrix = full
+        elif isinstance(wmatrix, dict) and 'resolution' in wmatrix:
+            xin, full = window_matrix_bininteg([e for e in self.kedges], resolution=int(wmatrix['resolution']))
+            self.kin = xin
+            self.wmatrix = full
+        elif isinstance(wmatrix, (tuple, list)) and len(wmatrix) == 2:
+            kin, matrix = wmatrix
+            self.kin = np.asarray(kin, dtype='f8')
+            matrix = np.asarray(matrix, dtype='f8')
+            nout = sum(len(kk) for kk in self.k)
+            if matrix.shape[0] != nout:
+                raise ValueError('window matrix rows {} != data size {}'.format(matrix.shape[0], nout))
+            self.wmatrix = matrix
+            if kinlim is not None:
+                mask = (self.kin >= kinlim[0]) & (self.kin <= kinlim[1])
+                self.kin = self.kin[mask]
+                nells_in = matrix.shape[1] // mask.size
+                fullmask = np.tile(mask, nells_in)
+                self.wmatrix = matrix[:, fullmask]
+        else:
+            raise ValueError('unsupported wmatrix specification: {}'.format(type(wmatrix)))
+
+    def calculate(self, **params):
+        theory = self.theory.power
+        if self.shotnoise:
+            sn = jnp.zeros_like(theory).at[0].add(self.shotnoise) if 0 in self.ells else 0.
+            theory = theory + sn
+        flat = theory.reshape(-1)
+        self.flatpower = jnp.asarray(self.wmatrix, dtype=flat.dtype) @ flat
+        if self.shotnoise and 0 in self.ells:
+            # subtract shot noise from the windowed monopole
+            n0 = len(self.k[self.ells.index(0)])
+            offset = jnp.zeros_like(self.flatpower).at[:n0].add(self.shotnoise)
+            self.flatpower = self.flatpower - offset
+
+    @property
+    def power(self):
+        """Windowed multipoles, list of (nk_ell,) arrays."""
+        out, start = [], 0
+        for kk in self.k:
+            out.append(self.flatpower[start:start + len(kk)])
+            start += len(kk)
+        return out
+
+    def get(self):
+        return self.flatpower
+
+
+class WindowedCorrelationFunctionMultipoles(Calculator):
+    """Window-convolved (binned) theory xi_l(s) (reference window.py:536)."""
+
+    def initialize(self, slim=None, s=None, ells=None, theory=None):
+        if theory is None:
+            from ..theories.bao import DampedBAOWigglesTracerCorrelationFunctionMultipoles
+            theory = DampedBAOWigglesTracerCorrelationFunctionMultipoles()
+        self.theory = theory
+        if slim is not None:
+            self.ells = tuple(sorted(slim.keys()))
+            self.sedges, self.s = [], []
+            for ell in self.ells:
+                lim = slim[ell]
+                step = lim[2] if len(lim) > 2 else 4.
+                edges = np.arange(lim[0], lim[1] + step / 2., step)
+                self.sedges.append(np.column_stack([edges[:-1], edges[1:]]))
+                self.s.append((edges[:-1] + edges[1:]) / 2.)
+        else:
+            if s is None:
+                s = np.linspace(20., 150., 33)
+            if ells is None:
+                ells = (0, 2)
+            self.ells = tuple(ells)
+            self.s = [np.asarray(s, dtype='f8')] * len(self.ells)
+            self.sedges = []
+            for ss in self.s:
+                edges = np.concatenate([[ss[0] - (ss[1] - ss[0]) / 2.], (ss[1:] + ss[:-1]) / 2.,
+                                        [ss[-1] + (ss[-1] - ss[-2]) / 2.]])
+                self.sedges.append(np.column_stack([edges[:-1], edges[1:]]))
+        xin, full = window_matrix_bininteg([e for e in self.sedges], resolution=3)
+        self.sin = xin
+        self.wmatrix = full
+        self.theory.init.update(s=self.sin, ells=self.ells)
+
+    def calculate(self, **params):
+        flat = self.theory.corr.reshape(-1)
+        self.flatcorr = jnp.asarray(self.wmatrix, dtype=flat.dtype) @ flat
+
+    @property
+    def corr(self):
+        out, start = [], 0
+        for ss in self.s:
+            out.append(self.flatcorr[start:start + len(ss)])
+            start += len(ss)
+        return out
+
+    def get(self):
+        return self.flatcorr

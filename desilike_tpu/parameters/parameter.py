@@ -328,15 +328,18 @@ class ParameterCollection(BaseClass):
                         continue
                 self.set(param)
         else:
-            allnames = self.names()
-            allbasenames = self.basenames()
             for template, cfg in dict(other).items():
-                target = allbasenames if basename else allnames
+                cfg = cfg if isinstance(cfg, dict) else {'value': cfg}
+                target = self.basenames() if basename else self.names()
                 matched = find_names(target, template)
-                for p in list(self):
-                    key = p.basename if basename else p.name
-                    if key in matched:
-                        p.update(**(cfg if isinstance(cfg, dict) else {'value': cfg}))
+                if matched:
+                    for p in list(self):
+                        key = p.basename if basename else p.name
+                        if key in matched:
+                            p.update(**cfg)
+                elif not any(c in str(template) for c in '*?['):
+                    # non-wildcard unmatched key: add a new parameter
+                    self.set(Parameter(basename=template, **cfg))
         return self
 
     def __add__(self, other):

@@ -1,0 +1,11 @@
+from .cosmology import Cosmology
+from .base import (APEffect, BaseTheoryPowerSpectrumMultipoles, BaseTheoryCorrelationFunctionMultipoles,
+                   BaseTheoryCorrelationFunctionFromPowerSpectrumMultipoles, ap_k_mu, ap_s_mu)
+from .power_template import (BasePowerSpectrumTemplate, FixedPowerSpectrumTemplate, BAOPowerSpectrumTemplate,
+                             StandardPowerSpectrumTemplate, ShapeFitPowerSpectrumTemplate, DirectPowerSpectrumTemplate)
+from .bao import (DampedBAOWigglesPowerSpectrumMultipoles, SimpleBAOWigglesPowerSpectrumMultipoles,
+                  ResummedBAOWigglesPowerSpectrumMultipoles, FlexibleBAOWigglesPowerSpectrumMultipoles,
+                  DampedBAOWigglesTracerPowerSpectrumMultipoles, SimpleBAOWigglesTracerPowerSpectrumMultipoles,
+                  ResummedBAOWigglesTracerPowerSpectrumMultipoles, FlexibleBAOWigglesTracerPowerSpectrumMultipoles,
+                  DampedBAOWigglesTracerCorrelationFunctionMultipoles, SimpleBAOWigglesTracerCorrelationFunctionMultipoles,
+                  ResummedBAOWigglesTracerCorrelationFunctionMultipoles)

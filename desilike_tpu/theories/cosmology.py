@@ -1,0 +1,120 @@
+"""Cosmology calculator node: the differentiable Boltzmann-lite backend.
+
+Counterpart of the reference's ``Cosmoprimo`` node
+(theories/primordial_cosmology.py:78), which wraps CLASS/CAMB. Here the
+backend is the in-framework EH98 + differentiable background
+(:mod:`desilike_tpu.cosmology`), so direct-cosmology fits are end-to-end
+differentiable with no external Boltzmann code. Tabulated external pk
+(e.g. from CLASS) can be injected for production template fits via
+``FixedLinearPower``.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import Calculator
+from ..cosmology import background as bg
+from ..cosmology import linear as lin
+
+
+_COSMO_PARAM_DEFAULTS = {
+    'h': dict(value=0.6736, prior=dict(limits=[0.1, 1.]), ref=dict(dist='norm', loc=0.6736, scale=0.005), latex='h'),
+    'omega_cdm': dict(value=0.1200, prior=dict(limits=[0.01, 0.99]), ref=dict(dist='norm', loc=0.12, scale=0.001), latex=r'\omega_{cdm}'),
+    'omega_b': dict(value=0.02237, prior=dict(limits=[0.005, 0.1]), ref=dict(dist='norm', loc=0.02237, scale=0.0002), latex=r'\omega_{b}'),
+    'logA': dict(value=3.036394, prior=dict(limits=[1.61, 3.91]), ref=dict(dist='norm', loc=3.036, scale=0.01), latex=r'\ln(10^{10} A_s)'),
+    'n_s': dict(value=0.9649, prior=dict(limits=[0.8, 1.2]), ref=dict(dist='norm', loc=0.9649, scale=0.004), latex='n_s'),
+    'tau_reio': dict(value=0.0544, prior=dict(limits=[0.01, 0.8]), latex=r'\tau'),
+    'm_ncdm': dict(value=0.06, prior=dict(limits=[0., 5.]), latex=r'\sum m_\nu'),
+    'N_ur': dict(value=2.0328, latex='N_{ur}'),
+    'Omega_k': dict(value=0., prior=dict(limits=[-0.3, 0.3]), latex=r'\Omega_k'),
+    'w0_fde': dict(value=-1., prior=dict(limits=[-3., 1.]), latex='w_0'),
+    'wa_fde': dict(value=0., prior=dict(limits=[-3., 2.]), latex='w_a'),
+}
+
+
+def get_from(obj, name, z=None):
+    """Uniform quantity access used by templates/extractors."""
+    fn = getattr(obj, name)
+    return fn(z) if z is not None else fn()
+
+
+class Cosmology(Calculator):
+    """Differentiable cosmology node. All parameters fixed by default; vary a
+    subset via ``init.params`` or ``params['h'].update(fixed=False)``.
+
+    Exposes: efunc(z), comoving_angular_distance(z), hubble_distance(z),
+    rs_drag(), growth_rate(z), growth_factor(z), pk_dd(k, z), pk_dd_now(k, z),
+    sigma_r(r, z), sigma8(z), fsigma8(z).
+    """
+
+    @staticmethod
+    def _params(init):
+        fixed = init.get('fixed', True)
+        params = {}
+        for name, cfg in _COSMO_PARAM_DEFAULTS.items():
+            cfg = dict(cfg)
+            cfg['fixed'] = True if fixed is True else (name in fixed if hasattr(fixed, '__contains__') else bool(fixed))
+            params[name] = cfg
+        return params
+
+    def initialize(self, fiducial=None, fixed=True, engine='eh98'):
+        base = dict(bg.DEFAULT_PARAMS)
+        if fiducial:
+            base.update(fiducial)
+        self.fiducial_values = base
+        self.engine = str(engine)
+
+    def calculate(self, **params):
+        p = dict(self.fiducial_values)
+        p.update({k: v for k, v in params.items() if k in p or k in ('A_s',)})
+        self.p = bg.resolve(p)
+
+    # --- background ---
+
+    def efunc(self, z):
+        return bg.efunc(self.p, z)
+
+    def comoving_angular_distance(self, z):
+        return bg.comoving_angular_distance(self.p, z)
+
+    def comoving_radial_distance(self, z):
+        return bg.comoving_radial_distance(self.p, z)
+
+    def hubble_distance(self, z):
+        return bg.hubble_distance(self.p, z)
+
+    def rs_drag(self):
+        return bg.rs_drag(self.p)
+
+    @property
+    def N_eff(self):
+        return self.p['N_ur'] + self.p.get('N_ncdm', 1) * TNCDM_NEFF
+
+    # --- growth & fourier ---
+
+    def growth_rate(self, z):
+        return bg.growth_rate(self.p, z)
+
+    def growth_factor(self, z):
+        return bg.growth_factor(self.p, z)
+
+    def pk_dd(self, k, z):
+        return lin.pk_lin(self.p, k, z)
+
+    def pk_dd_now(self, k, z):
+        return lin.pk_lin(self.p, k, z, nowiggle=True)
+
+    def sigma_r(self, r, z=0.):
+        return lin.sigma_r(self.p, r, z)
+
+    def sigma8(self, z=0.):
+        return lin.sigma_r(self.p, 8., z)
+
+    def fsigma8(self, z=0.):
+        return self.growth_rate(z) * self.sigma8(z)
+
+    def get(self):
+        return self
+
+
+TNCDM_NEFF = (bg.TNCDM / (4. / 11.) ** (1. / 3.)) ** 4

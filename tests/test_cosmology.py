@@ -1,0 +1,72 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from desilike_tpu.cosmology import background as bg
+from desilike_tpu.cosmology import linear, eh
+
+
+P = bg.resolve()
+
+
+def test_background_fiducial():
+    assert abs(float(bg.efunc(P, 0.)) - 1.) < 1e-5
+    assert abs(float(bg.Omega_m(P)) - 0.3152) < 1e-3          # Planck 2018 / DESI fiducial
+    assert abs(float(bg.rs_drag(P)) - 99.08) < 0.15           # CLASS DESI fiducial (Mpc/h)
+    assert abs(float(bg.comoving_angular_distance(P, 1.)) - 2290.) < 15.
+    assert abs(float(bg.growth_rate(P, 1.)) - 0.8767) < 0.003
+    assert abs(float(bg.growth_factor(P, 1.)) - 0.6068) < 0.003
+
+
+def test_sigma8_reasonable():
+    # EH98 transfer differs from CLASS by 1-2%: loose bounds
+    s8 = float(linear.sigma8(P))
+    assert 0.78 < s8 < 0.85
+
+
+def test_differentiable():
+    g = jax.grad(lambda om: bg.comoving_angular_distance({**P, 'omega_cdm': om}, 1.))(0.12)
+    assert np.isfinite(float(g)) and float(g) < 0  # more matter -> smaller distance
+    g2 = jax.grad(lambda h: bg.rs_drag({**P, 'h': h}))(0.6736)
+    assert np.isfinite(float(g2))
+
+
+def test_vmap_background():
+    oms = jnp.linspace(0.10, 0.14, 8)
+    dm = jax.vmap(lambda om: bg.comoving_angular_distance({**P, 'omega_cdm': om}, 1.))(oms)
+    assert dm.shape == (8,) and bool(jnp.all(jnp.diff(dm) < 0))
+
+
+def test_transfer_limits():
+    k = np.geomspace(1e-4, 10, 100)
+    T = np.asarray(eh.transfer(P, k))
+    Tnw = np.asarray(eh.transfer_nowiggle(P, k))
+    assert abs(T[0] - 1.) < 0.02 and abs(Tnw[0] - 1.) < 0.02   # T -> 1 at large scales
+    assert np.all(T > 0) and np.all(np.diff(np.log(Tnw)) < 0)  # nowiggle monotone decreasing
+    # wiggles oscillate around the nowiggle shape
+    ratio = T / Tnw
+    mask = (k > 0.05) & (k < 0.3)
+    assert 0.02 < np.max(np.abs(ratio[mask] - 1.)) < 0.15
+
+
+def test_nowiggle_filter():
+    k = np.geomspace(1e-3, 10, 600)
+    pk = linear.pk_lin(P, k, z=1.)
+    pknw_shape = linear.pk_lin(P, k, z=1., nowiggle=True)
+    filt = linear.NoWiggleFilter(k)
+    pknow = np.asarray(filt(pk, pknw_shape))
+    # smooth: log-curvature small within the BAO range
+    d2 = np.diff(np.log(pknow), 2)
+    assert np.std(d2[(k[1:-1] > 0.05) & (k[1:-1] < 0.3)]) < 5e-4
+    # broadband-preserving: ratio wiggles average out
+    ratio = np.asarray(pk) / pknow
+    assert abs(np.mean(ratio[(k > 0.05) & (k < 0.3)]) - 1.) < 5e-3
+
+
+def test_neutrino_density():
+    # massive neutrino behaves as radiation early, matter late
+    onu_late = np.asarray(bg.omega_ncdm_a(P, 1.0))
+    onu_early = np.asarray(bg.omega_ncdm_a(P, 1e-4))
+    massless = P['N_ncdm'] * (7. / 8.) * bg.TNCDM ** 4 * bg.omega_gamma(P)
+    assert abs(float(onu_early) / massless - 1.) < 0.02
+    assert float(onu_late) > 10 * massless

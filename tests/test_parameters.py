@@ -1,0 +1,74 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from desilike_tpu.parameters import Parameter, ParameterCollection, Prior, Samples, Deriv, DerivArray
+
+
+def test_prior_uniform():
+    p = Prior(limits=(-1., 3.))
+    assert abs(float(p.logpdf(0.)) - (-np.log(4.))) < 1e-6
+    assert float(p.logpdf(5.)) == -np.inf
+    key = jax.random.key(0)
+    x = p.sample(key, (1000,))
+    assert float(x.min()) >= -1. and float(x.max()) <= 3.
+    np.testing.assert_allclose(p.ppf(np.array([0., 0.5, 1.])), [-1., 1., 3.])
+
+
+def test_prior_norm():
+    p = Prior(dist='norm', loc=1., scale=2.)
+    from scipy.stats import norm
+    assert abs(float(p.logpdf(0.5)) - norm.logpdf(0.5, 1., 2.)) < 1e-5
+    assert abs(p.std - 2.) < 1e-9
+    # truncated
+    pt = Prior(dist='norm', loc=0., scale=1., limits=(-1., 1.))
+    from scipy.stats import truncnorm
+    assert abs(float(pt.logpdf(0.)) - truncnorm.logpdf(0., -1., 1.)) < 1e-5
+
+
+def test_prior_grad():
+    p = Prior(dist='norm', loc=0., scale=2.)
+    g = jax.grad(lambda x: p.logpdf(x))(1.0)
+    assert abs(float(g) - (-0.25)) < 1e-6
+
+
+def test_parameter_basics():
+    p = Parameter(basename='b1', value=2., prior=dict(limits=[0., 4.]), latex='b_1')
+    assert p.name == 'b1' and p.varied and not p.solved
+    q = Parameter(name='lrg.b1', value=1.)
+    assert q.namespace == 'lrg' and q.basename == 'b1'
+    s = Parameter(basename='al0_0', derived='.marg', prior=dict(dist='norm', loc=0., scale=10.))
+    assert s.solved
+    d = Parameter(basename='fs8', derived='{f}*{sigma8}')
+    assert d.depends == ['f', 'sigma8']
+
+
+def test_collection_select():
+    params = ParameterCollection({
+        'qpar': dict(value=1.), 'qper': dict(value=1.),
+        'al0_0': dict(value=0., derived='.marg', prior=dict(dist='norm', loc=0, scale=1)),
+        'b1': dict(value=2., fixed=True)})
+    assert params.names(basename='q*') == ['qpar', 'qper']
+    assert params.select(solved=True).names() == ['al0_0']
+    assert params.select(fixed=True).names() == ['b1']
+    params.update({'q*': dict(fixed=True)})
+    assert params['qpar'].fixed
+
+
+def test_samples_roundtrip(tmp_path):
+    s = Samples({'a': np.arange(10.), 'b': np.ones(10)})
+    s['c'] = DerivArray(np.ones((3, 10)), derivs=[(), ('a',), ('a', 'a')])
+    fn = tmp_path / 'samples.npz'
+    s.save(fn)
+    s2 = Samples.load(str(fn))
+    np.testing.assert_allclose(s2['a'], np.arange(10.))
+    np.testing.assert_allclose(np.asarray(s2['c'][('a',)]), np.ones(10))
+    assert s2.shape == (10,)
+
+
+def test_deriv():
+    d1 = Deriv(('a', 'b'))
+    d2 = Deriv(('b', 'a'))
+    assert d1 == d2 and hash(d1) == hash(d2)
+    assert Deriv().total == 0 and d1.total == 2
