@@ -265,6 +265,7 @@ class SumLikelihood(BaseLikelihood):
         if not is_sequence(likelihoods):
             likelihoods = [likelihoods]
         self._likelihoods = list(likelihoods)
+        self.requires = list(self._likelihoods)
 
     @property
     def likelihoods(self):

@@ -127,7 +127,9 @@ class Parameter(BaseClass):
                 self.value = 0.
         self.value = None if self.value is None else float(np.asarray(self.value).reshape(()).item()) if shape == () else np.asarray(self.value)
         if fixed is None:
-            fixed = bool(self.derived) or (prior is None and ref is None)
+            # solved params ('.marg' etc.) are varied-but-solved, not fixed
+            nonsolved_derived = self.derived is True or (isinstance(self.derived, str) and not self.solved)
+            fixed = nonsolved_derived or (not self.solved and prior is None and ref is None)
         self.fixed = bool(fixed)
         self.proposal = proposal
         if self.proposal is None and not self.fixed:

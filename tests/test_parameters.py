@@ -46,7 +46,8 @@ def test_parameter_basics():
 
 def test_collection_select():
     params = ParameterCollection({
-        'qpar': dict(value=1.), 'qper': dict(value=1.),
+        'qpar': dict(value=1., prior=dict(limits=[0.8, 1.2])),
+        'qper': dict(value=1., prior=dict(limits=[0.8, 1.2])),
         'al0_0': dict(value=0., derived='.marg', prior=dict(dist='norm', loc=0, scale=1)),
         'b1': dict(value=2., fixed=True)})
     assert params.names(basename='q*') == ['qpar', 'qper']
