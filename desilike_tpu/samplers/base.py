@@ -1,0 +1,134 @@
+"""Sampler base: vectorized posterior, start-point sampling, chain assembly.
+
+Counterpart of reference samplers/base.py:69, re-designed TPU-first: the
+likelihood is ONE pure jitted function; chains are a vmapped batch dimension
+(the reference's vmap(jax)->jit->vmap(mpi) cascade, samplers/base.py:219-265,
+collapses to jax.vmap); stepping loops are lax.scan on device; RNG is
+counter-based jax.random so runs are bit-reproducible for a fixed seed and
+mesh (BASELINE.json requirement).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import BaseClass
+from ..samples.chain import Chain
+from ..parameters import ParameterCollection
+
+
+class BasePosteriorSampler(BaseClass):
+    """Common machinery: flat-vector posterior, ref-distribution starts."""
+
+    def __init__(self, likelihood, seed=42, max_tries=1000, save_fn=None, chains=None):
+        self.likelihood = likelihood
+        self.pipeline = likelihood.pipeline
+        self.varied_params = self.pipeline.varied_params
+        if not len(self.varied_params):
+            raise ValueError('no varied parameters to sample')
+        self.names = self.varied_params.names()
+        self.ndim = len(self.names)
+        self.save_fn = save_fn
+        self.max_tries = int(max_tries)
+        self.key = jax.random.key(seed)
+        self._logpost_aux = likelihood.logpost_fn()
+        self._resume_chain = chains if isinstance(chains, Chain) else (Chain.load(chains) if chains else None)
+        self.diagnostics = {}
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # --- flat-vector posterior ---
+
+    def logpost_flat(self, theta):
+        """theta (ndim,) -> (logposterior, aux dict of scalars)."""
+        lp, aux = self._logpost_aux(dict(zip(self.names, theta)))
+        lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+        keep = {}
+        for name in ('loglikelihood', 'logprior'):
+            if name in aux:
+                keep[name] = aux[name]
+        for name, val in aux.items():
+            if name in ('loglikelihood', 'logprior', 'solved', 'solved_hessian'):
+                continue
+            if hasattr(val, 'ndim') and val.ndim == 0:
+                keep[name] = val
+        if 'solved' in aux:
+            for sname, sval in aux['solved'].items():
+                keep[sname] = sval
+        if 'solved_hessian' in aux:
+            keep['solved_hessian'] = aux['solved_hessian']
+        return lp, keep
+
+    def logpost_batch(self, thetas):
+        """(n, ndim) -> ((n,), aux)."""
+        return jax.vmap(self.logpost_flat)(thetas)
+
+    # --- start points ---
+
+    def get_start(self, nchains):
+        """Rejection-sample start points from the parameters' reference
+        distributions until the posterior is finite
+        (reference samplers/base.py:274-323)."""
+        start = np.empty((nchains, self.ndim))
+        logpost = np.full(nchains, -np.inf)
+        todo = np.ones(nchains, dtype=bool)
+        batch_fn = jax.jit(lambda t: self.logpost_batch(t)[0])
+        for itry in range(self.max_tries):
+            if not todo.any():
+                break
+            n = int(todo.sum())
+            draws = []
+            for p in self.varied_params:
+                draws.append(np.asarray(p.sample_ref(self._next_key(), (n,))))
+            draws = np.column_stack(draws)
+            lps = np.asarray(batch_fn(jnp.asarray(draws)))
+            good = np.isfinite(lps)
+            idx = np.flatnonzero(todo)[good]
+            start[idx] = draws[good]
+            logpost[idx] = lps[good]
+            todo[idx] = False
+        if todo.any():
+            raise ValueError('could not find finite posterior start points in {} tries'.format(self.max_tries))
+        return jnp.asarray(start), jnp.asarray(logpost)
+
+    # --- chain assembly ---
+
+    def _make_chain(self, positions, records, attrs=None):
+        """positions: (nsteps, nchains, ndim); records: dict name -> (nsteps, nchains[, ...])."""
+        chain = Chain()
+        positions = np.asarray(positions)
+        for i, p in enumerate(self.varied_params):
+            chain[p] = positions[..., i]
+        for name, val in records.items():
+            val = np.asarray(val)
+            if name == 'solved_hessian':
+                chain.attrs['solved_hessian'] = val.reshape(-1, val.shape[-2], val.shape[-1])
+                continue
+            param = self.pipeline.params.get(name)
+            if param is not None:
+                chain[param] = val
+            else:
+                chain[name] = val
+        solved_names = self.pipeline.solved_params.names()
+        if solved_names:
+            chain.attrs['solved_names'] = solved_names
+        chain.attrs.update(attrs or {})
+        if self._resume_chain is not None:
+            chain = Chain.concatenate([self._resume_chain, chain], axis=0)
+        if self.save_fn:
+            chain.save(self.save_fn)
+        return chain
+
+    def check(self, chain, params=None, max_gr=1.03, min_ess=100):
+        """Convergence check: Gelman-Rubin + ESS (reference samplers/base.py:504)."""
+        params = params or self.names
+        burned = chain.remove_burnin(0.5)
+        gr = burned.gelman_rubin(params) if np.ndim(burned[params[0]]) > 1 and burned[params[0]].shape[1] > 1 else np.array([1.])
+        ess = min(burned.effective_sample_size(p) for p in params)
+        self.diagnostics['gelman_rubin'] = gr
+        self.diagnostics['ess'] = ess
+        converged = bool(np.all(np.asarray(gr) < max_gr)) and ess > min_ess
+        self.diagnostics['converged'] = converged
+        return converged

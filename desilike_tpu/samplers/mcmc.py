@@ -1,0 +1,90 @@
+"""Adaptive random-walk Metropolis, vmapped over chains.
+
+In-framework counterpart of the reference's in-repo MCMCSampler
+(samplers/mcmc.py:331, CosmoMC-style). Under whole-pipeline jit the
+fast/slow parameter blocking that motivates the reference design is
+obsolete (SURVEY.md §2.11); what remains essential is an adapted Gaussian
+proposal, implemented here with on-device Robbins-Monro scale adaptation
+targeting 23.4% acceptance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .base import BasePosteriorSampler
+
+
+class MCMCSampler(BasePosteriorSampler):
+    """Random-walk Metropolis with chains as a vmapped batch.
+
+    Parameters
+    ----------
+    nchains : int, default=8
+    proposal : (ndim, ndim) covariance or None
+        Proposal covariance; defaults to diag(param.proposal^2).
+    adapt : bool, default=True
+        Adapt the global scale during the first half of the run.
+    """
+
+    def __init__(self, likelihood, nchains=8, proposal=None, adapt=True, **kwargs):
+        super().__init__(likelihood, **kwargs)
+        self.nchains = int(nchains)
+        if proposal is None:
+            scales = np.array([p.proposal if p.proposal else (p.prior.std if p.prior is not None and np.isfinite(p.prior.std) else 1.)
+                               for p in self.varied_params])
+            proposal = np.diag(scales ** 2)
+        proposal = np.atleast_2d(np.asarray(proposal, dtype='f8'))
+        self._chol = np.linalg.cholesky(proposal) * 2.38 / np.sqrt(self.ndim)
+        self.adapt = bool(adapt)
+
+    def _build_step(self, nadapt):
+        chol = jnp.asarray(self._chol)
+        target = 0.234
+        logpost = self.logpost_flat
+
+        def step_one(carry, inp):
+            x, lp, aux, logscale, istep = carry
+            key = inp
+            k1, k2 = jax.random.split(key)
+            prop = x + jnp.exp(logscale) * chol @ jax.random.normal(k1, (self.ndim,))
+            lp_y, aux_y = logpost(prop)
+            accept = jnp.log(jax.random.uniform(k2)) < (lp_y - lp)
+            x = jnp.where(accept, prop, x)
+            lp = jnp.where(accept, lp_y, lp)
+            aux = jax.tree.map(lambda new, old: jnp.where(accept, new, old) if new.ndim == 0
+                               else jnp.where(accept.reshape((1,) * new.ndim), new, old), aux_y, aux)
+            # Robbins-Monro scale adaptation during warmup
+            do_adapt = istep < nadapt
+            gamma = 1. / jnp.sqrt(1. + istep)
+            logscale = jnp.where(do_adapt,
+                                 logscale + gamma * (jnp.where(accept, 1., 0.) - target), logscale)
+            record = {'x': x, 'logposterior': lp, 'accept': accept, **aux}
+            return (x, lp, aux, logscale, istep + 1), record
+
+        return step_one
+
+    def run(self, nsteps=2000, thin=1, burnin=0, nadapt=None):
+        if nadapt is None:
+            nadapt = nsteps // 2 if self.adapt else 0
+        start, lp0 = self.get_start(self.nchains)
+        _, aux0 = self.logpost_batch(start)
+        step_one = self._build_step(nadapt)
+
+        def run_chain(x0, lp0, aux0, key):
+            keys = jax.random.split(key, nsteps)
+            carry0 = (x0, lp0, aux0, jnp.zeros(()), jnp.zeros((), dtype=jnp.int32))
+            _, records = lax.scan(step_one, carry0, keys)
+            return records
+
+        keys = jax.random.split(self._next_key(), self.nchains)
+        records = jax.jit(jax.vmap(run_chain))(start, lp0, aux0, keys)
+        records = jax.tree.map(lambda v: jnp.moveaxis(v, 0, 1), records)  # (nsteps, nchains, ...)
+        jax.block_until_ready(records['logposterior'])
+        accept = records.pop('accept')
+        self.diagnostics['acceptance_rate'] = float(jnp.mean(accept))
+        x = records.pop('x')
+        sl = slice(burnin, None, thin)
+        return self._make_chain(x[sl], {k: v[sl] for k, v in records.items()},
+                                attrs={'sampler': 'mcmc', 'acceptance_rate': self.diagnostics['acceptance_rate']})

@@ -1,0 +1,160 @@
+"""Chain container: weighted posterior samples with statistics and export.
+
+Counterpart of reference samples/chain.py:79. Shape convention:
+(nsteps, nchains) leading axes (or flat (nsamples,)).
+"""
+
+import numpy as np
+
+from ..parameters import Samples, Parameter, ParameterCollection
+from . import diagnostics
+
+
+class Chain(Samples):
+    """Weighted samples. Reserved columns: 'logposterior', 'loglikelihood',
+    'logprior', 'aweight' (importance weight), 'fweight' (integer repeats)."""
+
+    _reserved = ('logposterior', 'loglikelihood', 'logprior', 'aweight', 'fweight')
+
+    @property
+    def weight(self):
+        w = np.ones(self.shape)
+        if 'aweight' in self:
+            w = w * np.asarray(self['aweight'])
+        if 'fweight' in self:
+            w = w * np.asarray(self['fweight'])
+        return w
+
+    def points(self, params=None):
+        """(nsamples, ndim) array of flattened samples for given params."""
+        params = params or [p.name for p in self.params if p.name not in self._reserved]
+        names = [getattr(p, 'name', p) for p in params]
+        return np.column_stack([np.asarray(self[n]).reshape(-1) for n in names]), names
+
+    def remove_burnin(self, burnin=0.5):
+        """Drop the first fraction (if <1) or number of steps (reference chain.py:210)."""
+        nsteps = self.shape[0]
+        start = int(burnin * nsteps) if burnin < 1 else int(burnin)
+        new = self.copy()
+        new.data = {}
+        for name, value in self.data.items():
+            new.data[name] = np.asarray(value)[start:]
+        return new
+
+    def mean(self, param):
+        x = np.asarray(self[param]).reshape(-1)
+        return np.average(x, weights=self.weight.reshape(-1))
+
+    def std(self, param):
+        x = np.asarray(self[param]).reshape(-1)
+        w = self.weight.reshape(-1)
+        m = np.average(x, weights=w)
+        return np.sqrt(np.average((x - m) ** 2, weights=w))
+
+    def covariance(self, params=None):
+        pts, names = self.points(params)
+        return np.cov(pts, rowvar=False, aweights=self.weight.reshape(-1))
+
+    def quantile(self, param, q=(0.16, 0.84)):
+        x = np.asarray(self[param]).reshape(-1)
+        w = self.weight.reshape(-1)
+        order = np.argsort(x)
+        cdf = np.cumsum(w[order])
+        cdf = cdf / cdf[-1]
+        return np.interp(np.atleast_1d(q), cdf, x[order])
+
+    def interval(self, param, cl=0.68):
+        """Highest-density interval via the shortest window on sorted samples."""
+        x = np.sort(np.asarray(self[param]).reshape(-1))
+        n = len(x)
+        m = max(int(np.floor(cl * n)), 1)
+        widths = x[m:] - x[:n - m]
+        i = int(np.argmin(widths))
+        return x[i], x[i + m]
+
+    # --- multi-chain diagnostics (axis 1 = chain) ---
+
+    def _per_chain(self, name):
+        arr = np.asarray(self[name])
+        if arr.ndim == 1:
+            return arr[None, :]
+        return np.moveaxis(arr, 1, 0).reshape(arr.shape[1], -1)
+
+    def gelman_rubin(self, params=None, method='diag'):
+        params = params or [p.name for p in self.params if p.name not in self._reserved]
+        chains = np.stack([self._per_chain(getattr(p, 'name', p)) for p in params], axis=-1)
+        chains = np.moveaxis(chains, 0, 0)  # (nchains, nsteps, ndim)
+        return diagnostics.gelman_rubin(chains, method=method)
+
+    def effective_sample_size(self, param):
+        return diagnostics.effective_sample_size(self._per_chain(getattr(param, 'name', param)))
+
+    def geweke(self, param):
+        return diagnostics.geweke(self._per_chain(getattr(param, 'name', param)))
+
+    # --- sample_solved: re-draw analytically-marginalized params ---
+
+    def sample_solved(self, seed=42):
+        """Draw solved ('.marg') parameters back into the chain using the
+        stored posterior hessian (reference chain.py:229): for each sample,
+        x_solved ~ N(x_best, (-H)^{-1})."""
+        if 'solved_hessian' not in self.attrs:
+            return self
+        H = np.asarray(self.attrs['solved_hessian'])
+        names = list(self.attrs.get('solved_names', []))
+        if not names:
+            return self
+        rng = np.random.default_rng(seed)
+        new = self.copy()
+        flatshape = (-1,)
+        nsamp = int(np.prod(self.shape))
+        means = np.column_stack([np.asarray(self[n]).reshape(-1) for n in names])
+        if H.ndim == 2:
+            cov = np.linalg.inv(-H)
+            draws = rng.multivariate_normal(np.zeros(len(names)), cov, size=nsamp)
+        else:
+            covs = np.linalg.inv(-H.reshape(nsamp, len(names), len(names)))
+            chol = np.linalg.cholesky(covs)
+            draws = np.einsum('nij,nj->ni', chol, rng.normal(size=(nsamp, len(names))))
+        for i, n in enumerate(names):
+            new[n] = (means[:, i] + draws[:, i]).reshape(self.shape)
+        return new
+
+    # --- export ---
+
+    def to_getdist(self, params=None, label=None):
+        """Return a getdist.MCSamples if getdist is installed, else a dict of
+        (samples, weights, names, labels)."""
+        pts, names = self.points(params)
+        labels = [self.params[n].latex if n in self.params else n for n in names]
+        w = self.weight.reshape(-1)
+        logp = np.asarray(self['logposterior']).reshape(-1) if 'logposterior' in self else None
+        try:
+            from getdist import MCSamples
+            return MCSamples(samples=pts, weights=w, names=names, labels=labels,
+                             loglikes=-logp if logp is not None else None, label=label)
+        except ImportError:
+            return dict(samples=pts, weights=w, names=names, labels=labels, logposterior=logp)
+
+    def write_getdist(self, base_fn, params=None):
+        """Write getdist-format .txt/.paramnames files (no getdist needed)."""
+        pts, names = self.points(params)
+        w = self.weight.reshape(-1)
+        logp = np.asarray(self['logposterior']).reshape(-1) if 'logposterior' in self else np.zeros(len(w))
+        out = np.column_stack([w, -logp, pts])
+        np.savetxt(str(base_fn) + '.txt', out)
+        with open(str(base_fn) + '.paramnames', 'w') as f:
+            for n in names:
+                latex = self.params[n].latex if n in self.params else n
+                f.write('{} {}\n'.format(n.replace('.', '_'), latex))
+
+    def to_stats_table(self, params=None, cl=0.68):
+        """Simple text stats table: mean +/- std and HDI."""
+        params = params or [p.name for p in self.params if p.name not in self._reserved]
+        lines = ['{:<20s} {:>12s} {:>12s} {:>24s}'.format('parameter', 'mean', 'std', 'interval')]
+        for p in params:
+            name = getattr(p, 'name', p)
+            lo, hi = self.interval(name, cl=cl)
+            lines.append('{:<20s} {:>12.5g} {:>12.5g} {:>24s}'.format(
+                name, self.mean(name), self.std(name), '[{:.5g}, {:.5g}]'.format(lo, hi)))
+        return '\n'.join(lines)

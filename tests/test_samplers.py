@@ -1,0 +1,77 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from desilike_tpu.core import Calculator
+from desilike_tpu.likelihoods import BaseGaussianLikelihood
+from desilike_tpu.samplers import EnsembleSampler, MCMCSampler
+
+
+class GaussianModel(BaseGaussianLikelihood):
+    """2-parameter linear-model fixture (reference tests/test_samplers.py:10-34)."""
+    _mean = np.array([1.0, -0.5])
+    _cov_data = 0.04
+
+    _params = dict(BaseGaussianLikelihood._params)
+    _params.update({
+        'a': dict(value=1.0, prior=dict(limits=[-4, 4]), ref=dict(dist='norm', loc=1.0, scale=0.2)),
+        'b': dict(value=-0.5, prior=dict(limits=[-4, 4]), ref=dict(dist='norm', loc=-0.5, scale=0.2)),
+    })
+
+    def initialize(self, **kwargs):
+        self.x = np.linspace(-1, 1, 50)
+        data = self._mean[0] * self.x + self._mean[1]
+        super().initialize(data=data, covariance=np.eye(50) * self._cov_data)
+
+    def flattheory(self):
+        return self._a * jnp.asarray(self.x) + self._b
+
+    def calculate(self, a=1., b=0., **kw):
+        self._a, self._b = a, b
+        super().calculate()
+
+
+def analytic_cov():
+    x = np.linspace(-1, 1, 50)
+    J = np.stack([x, np.ones_like(x)])
+    F = J @ J.T / GaussianModel._cov_data
+    return np.linalg.inv(F)
+
+
+@pytest.mark.parametrize('sampler_cls,kwargs', [
+    (EnsembleSampler, dict(nwalkers=64)),
+    (MCMCSampler, dict(nchains=8)),
+])
+def test_sampler_recovers_gaussian(sampler_cls, kwargs):
+    like = GaussianModel()
+    sampler = sampler_cls(like, seed=7, **kwargs)
+    chain = sampler.run(nsteps=800).remove_burnin(0.5)
+    cov = analytic_cov()
+    for i, name in enumerate(('a', 'b')):
+        assert chain.mean(name) == pytest.approx(GaussianModel._mean[i], abs=4 * np.sqrt(cov[i, i]) / 10)
+        assert chain.std(name) == pytest.approx(np.sqrt(cov[i, i]), rel=0.25)
+    gr = chain.gelman_rubin(('a', 'b'))
+    assert np.all(gr < 1.2)
+
+
+def test_chain_tools():
+    like = GaussianModel()
+    sampler = EnsembleSampler(like, seed=3, nwalkers=32)
+    chain = sampler.run(nsteps=200)
+    assert chain.shape == (200, 32)
+    assert 'loglikelihood' in chain
+    burned = chain.remove_burnin(100)
+    assert burned.shape == (100, 32)
+    lo, hi = burned.interval('a')
+    assert lo < burned.mean('a') < hi
+    ess = burned.effective_sample_size('a')
+    assert ess > 50
+    table = burned.to_stats_table()
+    assert 'a' in table
+
+
+def test_chain_reproducible():
+    like = GaussianModel()
+    c1 = EnsembleSampler(like, seed=11, nwalkers=32).run(nsteps=50)
+    c2 = EnsembleSampler(like, seed=11, nwalkers=32).run(nsteps=50)
+    np.testing.assert_array_equal(np.asarray(c1['a']), np.asarray(c2['a']))
