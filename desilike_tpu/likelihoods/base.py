@@ -70,6 +70,44 @@ class BaseLikelihood(Calculator):
                 prec[i] = p.prior.scale ** -2
         return names, solved, np.array(marg_idx, dtype='i4'), loc, prec
 
+    def _static_linear_indices(self, pipe, solved):
+        """Indices of solved params whose theory contribution is exactly
+        linear with a static basis (e.g. BAO broadband towers): their design
+        matrix J is a compile-time constant (SURVEY.md §7 item 5), so no
+        per-evaluation tangents are needed."""
+        import fnmatch
+        static = []
+        for i, p in enumerate(solved):
+            owners = pipe._param_owners.get(p.name, [])
+            for owner in owners:
+                patterns = getattr(owner, '_static_linear_solved', ())
+                if any(fnmatch.fnmatch(p.basename, pat) for pat in patterns):
+                    static.append(i)
+                    break
+        return static
+
+    def _compute_static_J(self, pipe, names, static_idx, likelihoods):
+        """Exact constant design matrices via unit-step differences (exact for
+        linear contributions), host-side at build time."""
+        defaults = pipe.input_defaults()
+
+        def diffs_at(overrides):
+            full = dict(defaults)
+            full.update(overrides)
+            full = {k: jnp.asarray(v) for k, v in full.items()}
+            pipe.run_once(full)
+            return [np.asarray(like.flatdiff_white, dtype='f8') for like in likelihoods
+                    if hasattr(like, 'flatdiff_white')]
+
+        base = diffs_at({})
+        Js = [np.zeros((len(static_idx), len(b))) for b in base]
+        for row, i in enumerate(static_idx):
+            name = names[i]
+            plus = diffs_at({name: defaults[name] + 1.})
+            for ilike, (b, pl) in enumerate(zip(base, plus)):
+                Js[ilike][row] = pl - b
+        return Js
+
     def logpost_fn(self, jit=True):
         """Pure function {varied name: value} -> (logposterior, aux dict).
 
@@ -81,6 +119,11 @@ class BaseLikelihood(Calculator):
         names, solved, marg_idx, prior_loc, prior_prec = self._solved_setup(pipe)
         likelihoods = self.likelihoods
         nsolved = len(names)
+        static_idx = self._static_linear_indices(pipe, solved) if nsolved else []
+        dyn_idx = [i for i in range(nsolved) if i not in static_idx]
+        static_Js = None
+        if static_idx:
+            static_Js = self._compute_static_J(pipe, names, static_idx, likelihoods)
 
         def fn(values):
             full = pipe._resolve_values(values)
@@ -96,17 +139,34 @@ class BaseLikelihood(Calculator):
 
             s0 = jnp.stack([jnp.asarray(full[n], dtype=jnp.result_type(float)) for n in names])
 
-            def inner(svec):
+            def inner(svec_dyn):
                 f2 = dict(full)
-                f2.update(zip(names, svec))
+                f2.update((names[i], v) for i, v in zip(dyn_idx, svec_dyn))
                 _, derived = pipe.run_once(f2)
                 diffs = tuple(like.flatdiff_white for like in likelihoods
                               if hasattr(like, 'flatdiff_white'))
                 return diffs, derived
 
-            (diffs, derived), jvp = jax.linearize(inner, s0)
-            basis = jnp.eye(nsolved, dtype=s0.dtype)
-            Js = jax.vmap(lambda t: jvp(t)[0])(basis)  # tuple of (nsolved, ndata_i)
+            s0_dyn = s0[jnp.asarray(dyn_idx, dtype=jnp.int32)] if dyn_idx else jnp.zeros((0,), s0.dtype)
+            if dyn_idx:
+                (diffs, derived), jvp = jax.linearize(inner, s0_dyn)
+                basis = jnp.eye(len(dyn_idx), dtype=s0.dtype)
+                Js_dyn = jax.vmap(lambda t: jvp(t)[0])(basis)  # tuple of (ndyn, ndata_i)
+            else:
+                diffs, derived = inner(s0_dyn)
+                Js_dyn = tuple(jnp.zeros((0, d.shape[0]), d.dtype) for d in diffs)
+            # assemble full J per likelihood: constant rows for static-linear
+            # params, traced rows for the rest, in solved order
+            Js = []
+            for ilike, d in enumerate(diffs):
+                J = jnp.zeros((nsolved, d.shape[0]), d.dtype)
+                if static_idx:
+                    J = J.at[jnp.asarray(static_idx, dtype=jnp.int32)].set(
+                        jnp.asarray(static_Js[ilike], dtype=d.dtype))
+                if dyn_idx:
+                    J = J.at[jnp.asarray(dyn_idx, dtype=jnp.int32)].set(Js_dyn[ilike])
+                Js.append(J)
+            Js = tuple(Js)
 
             prior_grad = -jnp.asarray(prior_prec) * (s0 - jnp.asarray(prior_loc))
             prior_hess = -jnp.diag(jnp.asarray(prior_prec))

@@ -27,6 +27,30 @@ def _hermite_slopes(x, y):
     return jnp.concatenate([m0, m_int, mN], axis=-1)
 
 
+def _find_interval(x, xqf, n):
+    """Interval index for each query. For static uniform or log-uniform grids
+    the index is computed arithmetically (O(1), no gather-heavy binary
+    search — TPU-friendly); otherwise falls back to searchsorted."""
+    try:
+        xnp = np.asarray(x)
+        is_static = True
+    except Exception:
+        is_static = False
+    if is_static and xnp.size > 2:
+        d = np.diff(xnp)
+        if np.allclose(d, d[0], rtol=1e-8):
+            step = (xnp[-1] - xnp[0]) / (xnp.size - 1)
+            i = jnp.floor((xqf - xnp[0]) / step).astype(jnp.int32)
+            return jnp.clip(i, 0, n - 2)
+        if np.all(xnp > 0):
+            ld = np.diff(np.log(xnp))
+            if np.allclose(ld, ld[0], rtol=1e-8):
+                step = (np.log(xnp[-1]) - np.log(xnp[0])) / (xnp.size - 1)
+                i = jnp.floor((jnp.log(xqf) - np.log(xnp[0])) / step).astype(jnp.int32)
+                return jnp.clip(i, 0, n - 2)
+    return jnp.clip(jnp.searchsorted(x, xqf, side='right') - 1, 0, n - 2)
+
+
 def interp1d(xq, x, y, method='cubic', extrap='clip'):
     """Interpolate y(x) at query points xq.
 
@@ -55,7 +79,7 @@ def interp1d(xq, x, y, method='cubic', extrap='clip'):
     if extrap == 'clip':
         xqf = jnp.clip(xqf, x[0], x[-1])
     n = x.shape[0]
-    i = jnp.clip(jnp.searchsorted(x, xqf, side='right') - 1, 0, n - 2)
+    i = _find_interval(x, xqf, n)
     x0 = x[i]
     x1 = x[i + 1]
     h = x1 - x0

@@ -251,6 +251,9 @@ class BaseBAOWigglesTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipo
     """
 
     _pt_cls = DampedBAOWigglesPowerSpectrumMultipoles
+    # broadband coefficients enter linearly with a static basis: their
+    # marginalization design matrix is a compile-time constant
+    _static_linear_solved = ('al*',)
 
     @staticmethod
     def _params(init):
@@ -378,6 +381,7 @@ class BaseBAOWigglesTracerCorrelationFunctionMultipoles(BaseTheoryCorrelationFun
     """BAO xi_l(s) with even-power broadband in s (reference bao.py:766+)."""
 
     _pt_power_cls = DampedBAOWigglesPowerSpectrumMultipoles
+    _static_linear_solved = ('al*',)
 
     @staticmethod
     def _params(init):

@@ -65,6 +65,11 @@ class BasePowerSpectrumTemplate(Calculator):
             self.pknow_dd_fid = np.asarray(filt(jnp.asarray(self.pk_dd_fid), jnp.asarray(pknw_shape)), dtype='f8')
         self.rs_drag_fid = float(bg.rs_drag(p))
         self._logk = np.log10(self.k)
+        # Chebyshev spectral table: gather-free interpolation on TPU
+        # (see ops/chebyshev.py for the rationale and measured speedups)
+        from ..ops.chebyshev import ChebyshevLogInterp
+        self._cheb = ChebyshevLogInterp(self.k)
+        self._cheb_cache = {}
 
     def calculate(self, **params):
         for name in ['pk_dd', 'f', 'f0', 'fk', 'sigma8', 'fsigma8']:
@@ -74,12 +79,21 @@ class BasePowerSpectrumTemplate(Calculator):
         if self.only_now:
             self.pk_dd = self.pknow_dd
 
-    # interpolation helpers used by theory models
+    # interpolation helpers used by theory models (Chebyshev spectral tables;
+    # coefficients cached by table identity within a trace)
+    def _cheb_interp(self, name, k):
+        values = getattr(self, name)
+        cached = self._cheb_cache.get(name)
+        if cached is None or cached[0] is not values:
+            cached = (values, self._cheb.coeffs(jnp.asarray(values)))
+            self._cheb_cache[name] = cached
+        return self._cheb.evaluate(cached[1], k)
+
     def pk_dd_interp(self, k):
-        return loglog_interp(self._logk, self.pk_dd, k)
+        return self._cheb_interp('pk_dd', k)
 
     def pknow_dd_interp(self, k):
-        return loglog_interp(self._logk, self.pknow_dd, k)
+        return self._cheb_interp('pknow_dd', k)
 
     @property
     def qpar(self):
