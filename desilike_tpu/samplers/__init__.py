@@ -1,3 +1,4 @@
 from .base import BasePosteriorSampler
 from .ensemble import EnsembleSampler
 from .mcmc import MCMCSampler
+from .nuts import NUTSSampler

@@ -1,0 +1,345 @@
+"""No-U-Turn sampler, in-framework, fully on-device and vmappable.
+
+In-framework replacement for the reference's blackjax binding
+(samplers/nuts.py:17). Iterative multinomial NUTS (Hoffman & Gelman 2014,
+algorithm 3 with multinomial trajectory sampling a la Betancourt 2017):
+
+- tree doubling with the checkpoint scheme for sub-tree U-turn checks
+  (store even leaves at slot popcount(j); at leaf i check subtrees of size
+  2^k for every k with 2^k | (i+1) against the stored left edges),
+- diagonal mass matrix (Welford) + dual-averaging step size during warmup,
+- everything lax.while_loop/fori_loop + fixed shapes: one compiled program,
+  thousands of vmapped chains per chip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .base import BasePosteriorSampler
+
+
+def _leapfrog(logdens_grad, z, r, eps, inv_mass):
+    lp, grad = logdens_grad(z)
+
+    def step(z, r, grad):
+        r_half = r + 0.5 * eps * grad
+        z_new = z + eps * inv_mass * r_half
+        lp_new, grad_new = logdens_grad(z_new)
+        r_new = r_half + 0.5 * eps * grad_new
+        return z_new, r_new, lp_new, grad_new
+    return step
+
+
+def _kinetic(r, inv_mass):
+    return 0.5 * jnp.sum(r * inv_mass * r)
+
+
+def _is_turning(z_minus, r_minus, z_plus, r_plus, inv_mass):
+    dz = z_plus - z_minus
+    return (jnp.dot(dz, inv_mass * r_minus) < 0.) | (jnp.dot(dz, inv_mass * r_plus) < 0.)
+
+
+def _popcount(x):
+    # int32 population count, jit-safe
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
+def build_nuts_kernel(logdens_grad_fn, ndim, max_depth=10, max_delta_energy=1000.):
+    """Returns step(key, z, lp, grad, eps, inv_mass) -> (z', lp', grad', stats)."""
+
+    max_leaves = 2 ** max_depth
+
+    def one_step(key, z0, lp0, grad0, eps, inv_mass):
+        k_mom, k_build = jax.random.split(key)
+        r0 = jax.random.normal(k_mom, (ndim,)) / jnp.sqrt(inv_mass)
+        energy0 = -lp0 + _kinetic(r0, inv_mass)
+
+        def leapfrog(z, r, grad):
+            r_half = r + 0.5 * eps * grad
+            z_new = z + eps * inv_mass * r_half
+
+            def lg(zz):
+                return logdens_grad_fn(zz)
+            lp_new, grad_new = lg(z_new)
+            r_new = r_half + 0.5 * eps * grad_new
+            return z_new, r_new, lp_new, grad_new
+
+        # trajectory state
+        init = dict(
+            key=k_build,
+            z_minus=z0, r_minus=r0, grad_minus=grad0,
+            z_plus=z0, r_plus=r0, grad_plus=grad0,
+            z_prop=z0, lp_prop=lp0, grad_prop=grad0,
+            logw_total=-energy0,          # multinomial weight of trajectory
+            sum_accept=jnp.zeros(()), n_leaves=jnp.zeros((), jnp.int32),
+            depth=jnp.zeros((), jnp.int32),
+            turning=jnp.zeros((), jnp.bool_), diverging=jnp.zeros((), jnp.bool_),
+        )
+
+        def doubling_cond(s):
+            return (s['depth'] < max_depth) & (~s['turning']) & (~s['diverging'])
+
+        def doubling_body(s):
+            key, k_dir, k_accept, k_sub = jax.random.split(s['key'], 4)
+            go_right = jax.random.bernoulli(k_dir)
+            n_sub = 2 ** s['depth']  # subtree leaf count this doubling (traced!)
+
+            # subtree build: iterative loop over 2^depth leaves with checkpoints
+            z_edge = jnp.where(go_right, s['z_plus'], s['z_minus'])
+            r_edge = jnp.where(go_right, s['r_plus'], -s['r_minus'])
+            grad_edge = jnp.where(go_right, s['grad_plus'], s['grad_minus'])
+
+            ckpt_z = jnp.zeros((max_depth, ndim))
+            ckpt_r = jnp.zeros((max_depth, ndim))
+
+            sub = dict(
+                z=z_edge, r=r_edge, grad=grad_edge,
+                z_left=z_edge, r_left=r_edge,
+                z_prop=z_edge, lp_prop=jnp.zeros(()), grad_prop=grad_edge,
+                logw=-jnp.inf, sum_accept=jnp.zeros(()), n=jnp.zeros((), jnp.int32),
+                turning=jnp.zeros((), jnp.bool_), diverging=jnp.zeros((), jnp.bool_),
+                ckpt_z=ckpt_z, ckpt_r=ckpt_r, key=k_sub, i=jnp.zeros((), jnp.int32),
+            )
+
+            def sub_cond(t):
+                return (t['i'] < n_sub) & (~t['turning']) & (~t['diverging'])
+
+            def sub_body(t):
+                i = t['i']
+                # checkpoint storage: even leaf i stored at slot popcount(i)
+                slot = _popcount(i)
+                store = (i % 2) == 0
+                ckpt_z = jnp.where(store, t['ckpt_z'].at[slot].set(t['z']), t['ckpt_z'])
+                ckpt_r = jnp.where(store, t['ckpt_r'].at[slot].set(t['r']), t['ckpt_r'])
+
+                z, r, lp, grad = leapfrog(t['z'], t['r'], t['grad'])
+                energy = -lp + _kinetic(r, inv_mass)
+                delta = energy - energy0
+                diverging = delta > max_delta_energy
+                logw_leaf = jnp.where(jnp.isnan(delta), -jnp.inf, -energy)
+                accept_prob = jnp.clip(jnp.exp(-delta), 0., 1.)
+                accept_prob = jnp.where(jnp.isnan(accept_prob), 0., accept_prob)
+
+                # progressive multinomial sampling within the subtree
+                logw_new = jnp.logaddexp(t['logw'], logw_leaf)
+                key, k_pick = jax.random.split(t['key'])
+                p_take = jnp.exp(logw_leaf - logw_new)
+                take = jax.random.uniform(k_pick) < p_take
+                z_prop = jnp.where(take, z, t['z_prop'])
+                lp_prop = jnp.where(take, lp, t['lp_prop'])
+                grad_prop = jnp.where(take, grad, t['grad_prop'])
+
+                # sub-tree U-turn checks: for every k>=1 with 2^k | (i+1),
+                # check the left edge stored at slot popcount(i+1-2^k)
+                ip1 = i + 1
+
+                def check_k(k, turning):
+                    size = 2 ** k
+                    applies = (ip1 % size) == 0
+                    j = ip1 - size
+                    slot_j = _popcount(j)
+                    zl = t_ckpt_z_new[slot_j]
+                    rl = t_ckpt_r_new[slot_j]
+                    turn = _is_turning(zl, rl, z, r, inv_mass)
+                    return turning | (applies & (k >= 1) & turn)
+
+                t_ckpt_z_new, t_ckpt_r_new = ckpt_z, ckpt_r
+                turning = lax.fori_loop(1, max_depth + 1, check_k, t['turning'])
+
+                return dict(
+                    z=z, r=r, grad=grad,
+                    z_left=jnp.where(i == 0, t['z'], t['z_left']),
+                    r_left=jnp.where(i == 0, t['r'], t['r_left']),
+                    z_prop=z_prop, lp_prop=lp_prop, grad_prop=grad_prop,
+                    logw=logw_new, sum_accept=t['sum_accept'] + accept_prob,
+                    n=t['n'] + 1, turning=turning, diverging=t['diverging'] | diverging,
+                    ckpt_z=ckpt_z, ckpt_r=ckpt_r, key=key, i=i + 1,
+                )
+
+            sub = lax.while_loop(sub_cond, sub_body, sub)
+
+            # merge subtree into trajectory
+            ok = (~sub['turning']) & (~sub['diverging'])
+            z_new, r_new, grad_new = sub['z'], sub['r'], sub['grad']
+            z_plus = jnp.where(go_right & ok, z_new, s['z_plus'])
+            r_plus = jnp.where(go_right & ok, r_new, s['r_plus'])
+            grad_plus = jnp.where(go_right & ok, grad_new, s['grad_plus'])
+            z_minus = jnp.where((~go_right) & ok, z_new, s['z_minus'])
+            r_minus = jnp.where((~go_right) & ok, -r_new, s['r_minus'])
+            grad_minus = jnp.where((~go_right) & ok, grad_new, s['grad_minus'])
+
+            # biased progressive sampling across the doubling
+            p_new = jnp.exp(jnp.minimum(0., sub['logw'] - s['logw_total']))
+            take = ok & (jax.random.uniform(k_accept) < p_new)
+            z_prop = jnp.where(take, sub['z_prop'], s['z_prop'])
+            lp_prop = jnp.where(take, sub['lp_prop'], s['lp_prop'])
+            grad_prop = jnp.where(take, sub['grad_prop'], s['grad_prop'])
+            logw_total = jnp.logaddexp(s['logw_total'], jnp.where(ok, sub['logw'], -jnp.inf))
+
+            turning_ends = _is_turning(z_minus, r_minus, z_plus, r_plus, inv_mass)
+
+            return dict(
+                key=key,
+                z_minus=z_minus, r_minus=r_minus, grad_minus=grad_minus,
+                z_plus=z_plus, r_plus=r_plus, grad_plus=grad_plus,
+                z_prop=z_prop, lp_prop=lp_prop, grad_prop=grad_prop,
+                logw_total=logw_total,
+                sum_accept=s['sum_accept'] + sub['sum_accept'],
+                n_leaves=s['n_leaves'] + sub['n'],
+                depth=s['depth'] + 1,
+                turning=sub['turning'] | turning_ends, diverging=s['diverging'] | sub['diverging'],
+            )
+
+        out = lax.while_loop(doubling_cond, doubling_body, init)
+        accept_stat = out['sum_accept'] / jnp.maximum(out['n_leaves'], 1)
+        stats = dict(accept_stat=accept_stat, depth=out['depth'],
+                     diverging=out['diverging'], n_leaves=out['n_leaves'])
+        return out['z_prop'], out['lp_prop'], out['grad_prop'], stats
+
+    return one_step
+
+
+class NUTSSampler(BasePosteriorSampler):
+    """Vmapped NUTS with Stan-style warmup (dual-averaging step size +
+    diagonal Welford mass matrix).
+
+    Bounded parameters are handled with a logit transform (gradients stay
+    finite at the prior edges); the log-Jacobian is added to the density.
+    """
+
+    def __init__(self, likelihood, nchains=8, max_depth=8, target_accept=0.8, **kwargs):
+        super().__init__(likelihood, **kwargs)
+        self.nchains = int(nchains)
+        self.max_depth = int(max_depth)
+        self.target_accept = float(target_accept)
+        self._set_transform()
+
+    # --- bounded-parameter transform ---
+
+    def _set_transform(self):
+        los, his = [], []
+        for p in self.varied_params:
+            lims = p.prior.limits if p.prior is not None else (-np.inf, np.inf)
+            los.append(lims[0])
+            his.append(lims[1])
+        self._lo = np.array(los)
+        self._hi = np.array(his)
+        self._bounded = np.isfinite(self._lo) & np.isfinite(self._hi)
+
+    def _constrain(self, u):
+        """unconstrained -> constrained + log|Jacobian|."""
+        lo = jnp.asarray(self._lo)
+        hi = jnp.asarray(self._hi)
+        bounded = jnp.asarray(self._bounded)
+        sig = jax.nn.sigmoid(u)
+        x = jnp.where(bounded, lo + (hi - lo) * sig, u)
+        logjac = jnp.sum(jnp.where(bounded, jnp.log(hi - lo) + jnp.log(sig) + jnp.log1p(-sig), 0.))
+        return x, logjac
+
+    def _unconstrain(self, x):
+        lo = self._lo
+        hi = self._hi
+        t = np.clip((np.asarray(x) - lo) / np.where(self._bounded, hi - lo, 1.), 1e-6, 1 - 1e-6)
+        return np.where(self._bounded, np.log(t) - np.log1p(-t), np.asarray(x))
+
+    def _logdens_grad(self):
+        def logdens(u):
+            x, logjac = self._constrain(u)
+            lp, _ = self.logpost_flat(x)
+            return lp + logjac
+        return jax.value_and_grad(logdens)
+
+    def run(self, nsteps=1000, nwarmup=None, thin=1):
+        if nwarmup is None:
+            nwarmup = max(200, nsteps // 2)
+        ndim = self.ndim
+        lg = self._logdens_grad()
+        kernel = build_nuts_kernel(lg, ndim, max_depth=self.max_depth)
+        target = self.target_accept
+
+        x0, _ = self.get_start(self.nchains)
+        u0 = jnp.asarray(np.array([self._unconstrain(np.asarray(x)) for x in x0]))
+
+        def warmup_chain(u, key):
+            lp, grad = lg(u)
+
+            def da_scan(u, lp, grad, inv_mass, eps0, n, key, collect_from):
+                """Dual-averaging scan; also accumulates Welford variance from
+                step ``collect_from`` on."""
+                mu = jnp.log(10. * eps0)
+                da0 = dict(log_eps=jnp.log(eps0), log_eps_bar=jnp.log(eps0), h_bar=jnp.zeros(()))
+                welford0 = dict(mean=jnp.zeros(ndim), m2=jnp.zeros(ndim), count=jnp.zeros(()))
+
+                def body(carry, inp):
+                    u, lp, grad, da, welford = carry
+                    i, key = inp
+                    eps = jnp.exp(da['log_eps'])
+                    u, lp, grad, stats = kernel(key, u, lp, grad, eps, inv_mass)
+                    t = i + 1.
+                    h_bar = (1. - 1. / (t + 10.)) * da['h_bar'] + (target - stats['accept_stat']) / (t + 10.)
+                    log_eps = mu - jnp.sqrt(t) / 0.05 * h_bar
+                    w = t ** -0.75
+                    log_eps_bar = w * log_eps + (1. - w) * da['log_eps_bar']
+                    da_new = dict(log_eps=log_eps, log_eps_bar=log_eps_bar, h_bar=h_bar)
+                    in_window = i >= collect_from
+                    cnt = welford['count'] + jnp.where(in_window, 1., 0.)
+                    delta = u - welford['mean']
+                    mean = welford['mean'] + jnp.where(in_window, delta / jnp.maximum(cnt, 1.), 0.)
+                    m2 = welford['m2'] + jnp.where(in_window, delta * (u - mean), 0.)
+                    return (u, lp, grad, da_new, dict(mean=mean, m2=m2, count=cnt)), None
+
+                keys = jax.random.split(key, n)
+                idx = jnp.arange(n, dtype=jnp.float32)
+                (u, lp, grad, da, welford), _ = lax.scan(body, (u, lp, grad, da0, welford0), (idx, keys))
+                eps = jnp.exp(da['log_eps_bar'])
+                var = welford['m2'] / jnp.maximum(welford['count'] - 1., 1.)
+                return u, lp, grad, eps, var, welford['count']
+
+            k1, k2 = jax.random.split(key)
+            nw1 = nwarmup // 2
+            nw2 = nwarmup - nw1
+            # phase 1: adapt eps under identity mass, collect variance
+            u, lp, grad, eps1, var, cnt = da_scan(u, lp, grad, jnp.ones(ndim), 0.1, nw1, k1, nw1 // 3)
+            inv_mass = jnp.where(cnt > 10, jnp.maximum(var, 1e-10), jnp.ones(ndim))
+            # phase 2: re-adapt eps under the learned mass
+            u, lp, grad, eps, _, _ = da_scan(u, lp, grad, inv_mass, eps1, nw2, k2, nw2 + 1)
+            return u, lp, grad, eps, inv_mass
+
+        def sample_chain(u, lp, grad, eps, inv_mass, key):
+            def body(carry, key):
+                u, lp, grad = carry
+                u, lp, grad, stats = kernel(key, u, lp, grad, eps, inv_mass)
+                x, _ = self._constrain(u)
+                lp_x, aux = self.logpost_flat(x)
+                record = {'x': x, 'logposterior': lp_x,
+                          'divergence': stats['diverging'], **aux}
+                return (u, lp, grad), record
+
+            keys = jax.random.split(key, nsteps)
+            _, records = lax.scan(body, (u, lp, grad), keys)
+            return records
+
+        k_all = jax.random.split(self._next_key(), 2 * self.nchains)
+        kw, ks = k_all[:self.nchains], k_all[self.nchains:]
+
+        warm = jax.jit(jax.vmap(warmup_chain))
+        u, lp, grad, eps, inv_mass = warm(u0, kw)
+        jax.block_until_ready(eps)
+        self.diagnostics['step_size'] = np.asarray(eps)
+
+        sample = jax.jit(jax.vmap(sample_chain))
+        records = sample(u, lp, grad, eps, inv_mass, ks)
+        records = jax.tree.map(lambda v: jnp.moveaxis(v, 0, 1), records)
+        jax.block_until_ready(records['logposterior'])
+        div = records.pop('divergence')
+        self.diagnostics['divergence_rate'] = float(jnp.mean(div))
+        x = records.pop('x')
+        sl = slice(None, None, thin)
+        return self._make_chain(x[sl], {k: v[sl] for k, v in records.items()},
+                                attrs={'sampler': 'nuts', 'step_size': list(np.asarray(eps)),
+                                       'divergence_rate': self.diagnostics['divergence_rate']})

@@ -75,3 +75,17 @@ def test_chain_reproducible():
     c1 = EnsembleSampler(like, seed=11, nwalkers=32).run(nsteps=50)
     c2 = EnsembleSampler(like, seed=11, nwalkers=32).run(nsteps=50)
     np.testing.assert_array_equal(np.asarray(c1['a']), np.asarray(c2['a']))
+
+
+def test_nuts_recovers_gaussian():
+    from desilike_tpu.samplers import NUTSSampler
+    like = GaussianModel()
+    sampler = NUTSSampler(like, seed=5, nchains=4, max_depth=6)
+    chain = sampler.run(nsteps=300, nwarmup=300)
+    assert sampler.diagnostics['divergence_rate'] < 0.01
+    cov = analytic_cov()
+    for i, name in enumerate(('a', 'b')):
+        assert chain.mean(name) == pytest.approx(GaussianModel._mean[i], abs=3 * np.sqrt(cov[i, i]) / 10)
+        assert chain.std(name) == pytest.approx(np.sqrt(cov[i, i]), rel=0.25)
+    # NUTS should decorrelate fast: high ESS per sample
+    assert chain.effective_sample_size('a') > 300
