@@ -318,6 +318,30 @@ class ObservablesGaussianLikelihood(BaseGaussianLikelihood):
         super().calculate(**params)
 
 
+class FisherGaussianLikelihood(BaseGaussianLikelihood):
+    """Compressed Gaussian likelihood from a Fisher forecast
+    (reference fisher.py:31): data = Fisher center, precision = F, theory =
+    the parameter vector itself. Re-usable as a pipeline node."""
+
+    def initialize(self, fisher=None, **kwargs):
+        if fisher is None:
+            raise ValueError('provide a LikelihoodFisher')
+        self._names = fisher.names()
+        for p in fisher.params:
+            self.params.set(p.clone(fixed=False, derived=False))
+        super().initialize(data=fisher.center, covariance=fisher.covariance())
+
+    def flattheory(self):
+        return jnp.stack([self._values[n] for n in self._names])
+
+    def calculate(self, **params):
+        self._values = {}
+        for n in self._names:
+            base = n.split('.')[-1]
+            self._values[n] = jnp.asarray(params.get(n, params.get(base, 0.)))
+        super().calculate()
+
+
 class SumLikelihood(BaseLikelihood):
     """Sum of independent likelihoods (reference likelihoods/base.py:715)."""
 

@@ -1,0 +1,214 @@
+"""Profilers: posterior maximization, parabolic errors, Delta-chi2 intervals.
+
+Counterpart of reference profilers/base.py:125. Autodiff-native: gradients
+and hessians come from jax; multi-start maximization is a vmapped batch
+(the reference's per-start MPI TaskManager axis collapses to vmap).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import BaseClass
+from ..samples.profiles import Profiles
+from ..parameters import ParameterCollection
+
+
+class BaseProfiler(BaseClass):
+
+    def __init__(self, likelihood, seed=42, max_tries=200):
+        self.likelihood = likelihood
+        self.pipeline = likelihood.pipeline
+        self.varied_params = self.pipeline.varied_params
+        self.names = self.varied_params.names()
+        self.ndim = len(self.names)
+        self.key = jax.random.key(seed)
+        self.max_tries = max_tries
+        self._fn = likelihood.logpost_fn()
+        self._scales = np.array([p.proposal if p.proposal else
+                                 (p.prior.std if p.prior is not None and np.isfinite(p.prior.std) else 1.)
+                                 for p in self.varied_params])
+        self.profiles = Profiles(self.varied_params)
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def chi2(self, theta):
+        """-2 logposterior of a flat parameter vector (traced)."""
+        lp, _ = self._fn(dict(zip(self.names, theta)))
+        return -2. * lp
+
+    def logpost(self, theta):
+        lp, _ = self._fn(dict(zip(self.names, theta)))
+        return lp
+
+    def _bounds(self):
+        bounds = []
+        for p in self.varied_params:
+            lims = p.prior.limits if p.prior is not None else (-np.inf, np.inf)
+            bounds.append((None if not np.isfinite(lims[0]) else lims[0],
+                           None if not np.isfinite(lims[1]) else lims[1]))
+        return bounds
+
+    def _starts(self, niterations):
+        starts = [np.array([p.value for p in self.varied_params])]
+        for _ in range(niterations - 1):
+            draws = []
+            for p in self.varied_params:
+                draws.append(float(np.asarray(p.sample_ref(self._next_key()))))
+            starts.append(np.array(draws))
+        return np.array(starts)
+
+    def _minimize_one(self, start):
+        raise NotImplementedError
+
+    def maximize(self, niterations=3):
+        """Multi-start maximization; fills profiles.bestfit/error/covariance."""
+        starts = self._starts(niterations)
+        results = [self._minimize_one(s) for s in starts]
+        xs = np.array([r[0] for r in results])
+        lps = np.array([r[1] for r in results])
+        for i, name in enumerate(self.names):
+            self.profiles.bestfit[self.varied_params[name]] = xs[:, i]
+        self.profiles.bestfit['logposterior'] = lps
+        # parabolic errors from the autodiff hessian at the best start
+        best = xs[int(np.argmax(lps))]
+        H = np.asarray(jax.hessian(self.logpost)(jnp.asarray(best)), dtype='f8')
+        try:
+            cov = np.linalg.inv(-H)
+            self.profiles.covariance = cov
+            for i, name in enumerate(self.names):
+                self.profiles.error[name] = float(np.sqrt(max(cov[i, i], 0.)))
+        except np.linalg.LinAlgError:
+            self.profiles.covariance = None
+        return self.profiles
+
+    def interval(self, params=None, cl=1., grid_size=30):
+        r"""Delta-chi2 = cl^2 likelihood intervals by root-finding on the
+        profiled chi2 (reference profilers/base.py:500). The other parameters
+        are re-optimized at each scan point."""
+        if params is None:
+            params = self.names
+        if not self.profiles.start_size:
+            self.maximize()
+        best = self.profiles.choice()
+        chi2_min = -2. * best['logposterior']
+        for name in [getattr(p, 'name', p) for p in params]:
+            i = self.names.index(name)
+            sigma = self.profiles.error.get(name) or self._scales[i]
+            lims = []
+            for sign in (-1., 1.):
+                lo_val = best[name]
+                target = chi2_min + cl ** 2
+                # expand until bracketing, then bisection on profiled chi2
+                step = sigma
+                val = lo_val
+                prev = chi2_min
+                for _ in range(30):
+                    val = val + sign * step
+                    c = self._profiled_chi2(name, val, best)
+                    if c >= target:
+                        break
+                    prev = c
+                # bisection
+                a, b = val - sign * step, val
+                for _ in range(20):
+                    m = 0.5 * (a + b)
+                    c = self._profiled_chi2(name, m, best)
+                    if c < target:
+                        a = m
+                    else:
+                        b = m
+                lims.append(0.5 * (a + b))
+            self.profiles.interval[name] = tuple(sorted(lims))
+        return self.profiles
+
+    def _profiled_chi2(self, name, value, best):
+        """chi2 minimized over all other parameters with ``name`` fixed."""
+        others = [n for n in self.names if n != name]
+        if not others:
+            return float(self.chi2(jnp.asarray([value])))
+        idx = [self.names.index(n) for n in others]
+        i_fix = self.names.index(name)
+
+        def chi2_sub(theta_sub):
+            theta = jnp.zeros(self.ndim)
+            theta = theta.at[jnp.asarray(idx)].set(theta_sub)
+            theta = theta.at[i_fix].set(value)
+            return self.chi2(theta)
+
+        x0 = np.array([best[n] for n in others])
+        x, lp = self._minimize_fn(chi2_sub, x0, [self._bounds()[i] for i in idx])
+        return float(lp)
+
+    def _minimize_fn(self, chi2_fn, x0, bounds):
+        from scipy import optimize
+        vg = jax.jit(jax.value_and_grad(chi2_fn))
+
+        def f(x):
+            v, g = vg(jnp.asarray(x, dtype=jnp.float32))
+            return float(v), np.asarray(g, dtype='f8')
+
+        res = optimize.minimize(f, x0, jac=True, bounds=bounds, method='L-BFGS-B',
+                                options={'maxiter': 500, 'ftol': 1e-12, 'gtol': 1e-8})
+        return res.x, res.fun
+
+    def grid(self, name, values):
+        """1D profile: chi2 minimized over other params along a grid."""
+        if not self.profiles.start_size:
+            self.maximize()
+        best = self.profiles.choice()
+        chi2s = np.array([self._profiled_chi2(name, v, best) for v in values])
+        self.profiles.profile[name] = (np.asarray(values), chi2s)
+        return self.profiles
+
+
+class ScipyProfiler(BaseProfiler):
+    """L-BFGS-B with jitted autodiff gradients (reference profilers/scipy.py:8,
+    with the gradient now exact instead of numerical)."""
+
+    def _minimize_one(self, start):
+        x, fun = self._minimize_fn(self.chi2, start, self._bounds())
+        return x, -0.5 * fun
+
+
+class OptaxProfiler(BaseProfiler):
+    """Gradient descent with warmup-cosine schedule (reference profilers/optax.py:37),
+    fully on-device via lax.scan."""
+
+    def __init__(self, likelihood, learning_rate=0.1, nsteps=500, **kwargs):
+        super().__init__(likelihood, **kwargs)
+        self.learning_rate = float(learning_rate)
+        self.nsteps = int(nsteps)
+
+    def _minimize_one(self, start):
+        import optax
+        from jax import lax
+        scales = jnp.asarray(self._scales)
+        sched = optax.warmup_cosine_decay_schedule(0., self.learning_rate, int(0.1 * self.nsteps) + 1, self.nsteps)
+        opt = optax.adam(sched)
+
+        def chi2_scaled(u):
+            return self.chi2(u * scales)
+
+        vg = jax.value_and_grad(chi2_scaled)
+
+        @jax.jit
+        def run(u0):
+            state0 = opt.init(u0)
+
+            def body(carry, i):
+                u, state, best_u, best_v = carry
+                v, g = vg(u)
+                updates, state = opt.update(g, state, u)
+                u = optax.apply_updates(u, updates)
+                better = v < best_v
+                return (u, state, jnp.where(better, u, best_u), jnp.where(better, v, best_v)), None
+
+            (u, state, best_u, best_v), _ = lax.scan(body, (u0, state0, u0, jnp.inf), jnp.arange(self.nsteps))
+            return best_u, best_v
+
+        u0 = jnp.asarray(start) / scales
+        u, v = run(u0)
+        return np.asarray(u * scales), -0.5 * float(v)

@@ -1,0 +1,77 @@
+"""Fisher, Differentiation, profilers."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from desilike_tpu.fisher import Fisher, LikelihoodFisher
+from desilike_tpu.differentiation import Differentiation
+from desilike_tpu.profilers import ScipyProfiler, OptaxProfiler
+from test_samplers import GaussianModel, analytic_cov
+
+
+def test_fisher_matches_analytic():
+    like = GaussianModel()
+    fisher = Fisher(like)
+    lf = fisher()
+    cov = analytic_cov()
+    np.testing.assert_allclose(lf.covariance(['a', 'b']), cov, rtol=1e-3, atol=1e-8)
+    assert lf.std('a') == pytest.approx(np.sqrt(cov[0, 0]), rel=1e-3)
+    # marginalize/fix consistency
+    marg = lf.marginalize(['b'])
+    assert marg.std('a') == pytest.approx(np.sqrt(cov[0, 0]), rel=1e-3)
+    fixed = lf.fix(['b'])
+    # design is orthogonal here (x symmetric): conditioning cannot inflate
+    assert fixed.std('a') <= marg.std('a') * (1 + 1e-10)
+
+
+def test_fisher_sum():
+    like = GaussianModel()
+    lf = Fisher(like)()
+    total = lf + lf
+    assert total.std('a') == pytest.approx(lf.std('a') / np.sqrt(2), rel=1e-3)
+
+
+def test_fisher_to_likelihood():
+    like = GaussianModel()
+    lf = Fisher(like)()
+    compressed = lf.to_likelihood()
+    fn = compressed.logpost_fn()
+    lp0, _ = fn({'a': jnp.asarray(lf.center[0]), 'b': jnp.asarray(lf.center[1])})
+    lp1, _ = fn({'a': jnp.asarray(lf.center[0] + lf.std('a')), 'b': jnp.asarray(lf.center[1])})
+    # 1-sigma shift in one param: delta chi2 >= 1 (=1 if uncorrelated)
+    assert 2 * (float(lp0) - float(lp1)) == pytest.approx(1.0, rel=0.05)
+
+
+def test_differentiation_auto_vs_finite():
+    like = GaussianModel()
+    d_auto = Differentiation(like, getter=lambda: like.flattheory(), order=1, method='auto')
+    d_fd = Differentiation(like, getter=lambda: like.flattheory(), order=1, method='finite')
+    r_auto = d_auto()['value']
+    r_fd = d_fd()['value']
+    x = np.linspace(-1, 1, 50)
+    np.testing.assert_allclose(np.asarray(r_auto[('a',)]), x, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_fd[('a',)]), x, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r_auto[('b',)]), np.ones(50), atol=1e-4)
+
+
+@pytest.mark.parametrize('cls', [ScipyProfiler, OptaxProfiler])
+def test_profiler_finds_maximum(cls):
+    like = GaussianModel()
+    prof = cls(like)
+    profiles = prof.maximize(niterations=2)
+    best = profiles.choice()
+    cov = analytic_cov()
+    assert best['a'] == pytest.approx(1.0, abs=0.02)
+    assert best['b'] == pytest.approx(-0.5, abs=0.02)
+    if profiles.covariance is not None:
+        np.testing.assert_allclose(profiles.error['a'], np.sqrt(cov[0, 0]), rtol=0.05)
+
+
+def test_profiler_interval():
+    like = GaussianModel()
+    prof = ScipyProfiler(like)
+    prof.maximize(niterations=1)
+    prof.interval(['a'])
+    lo, hi = prof.profiles.interval['a']
+    cov = analytic_cov()
+    assert hi - lo == pytest.approx(2 * np.sqrt(cov[0, 0]), rel=0.1)
