@@ -114,6 +114,7 @@ class RuntimeInfo(object):
             for param in params:
                 if not param.namespace:
                     param.update(namespace=self.namespace)
+            params = ParameterCollection(list(params))  # re-key after rename
         self.params = params
         calc.params = params  # let initialize() inspect/modify
         self.requires = None  # re-discover on each (re-)initialization
@@ -143,6 +144,13 @@ class RuntimeInfo(object):
             requires = list(explicit)
         self.requires = requires
         for req in self.requires:
+            # propagate the namespace to implicitly-created sub-calculators
+            # (multi-tracer: template -> apeffect etc.); nodes meant to be
+            # shared across namespaces (Cosmology) opt out.
+            if self.namespace and not req.init._namespace \
+                    and getattr(req, '_propagate_namespace', True):
+                req.init._namespace = self.namespace
+                req.runtime_info.initialized = False
             req.runtime_info.initialize()
         self.initialized = True
         calc.init._updated = False

@@ -39,6 +39,7 @@ def get_from(obj, name, z=None):
 
 
 class Cosmology(Calculator):
+    _propagate_namespace = False  # one cosmology is typically shared across tracers
     """Differentiable cosmology node. All parameters fixed by default; vary a
     subset via ``init.params`` or ``params['h'].update(fixed=False)``.
 
