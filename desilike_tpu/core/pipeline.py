@@ -48,8 +48,10 @@ class Pipeline(BaseClass):
             for param in calc.runtime_info.params:
                 if param.name in params:
                     existing = params[param.name]
-                    # merge: prefer the declaration with an explicit prior
-                    if existing.prior is None and param.prior is not None:
+                    # merge: prefer the declaration with an explicit prior,
+                    # and a varied declaration over a fixed one (shared nodes)
+                    if (existing.prior is None and param.prior is not None) or \
+                            (existing.fixed and not param.fixed):
                         params.set(param)
                 else:
                     params.set(param)

@@ -37,7 +37,7 @@ class BasePowerSpectrumTemplate(Calculator):
     _state_attrs = ['pk_dd', 'pknow_dd', 'f']
 
     def initialize(self, k=None, z=1., fiducial=None, apmode='qparqper',
-                   with_now='peakaverage', only_now=False, eta=1. / 3.):
+                   with_now='peakaverage', only_now=False, eta=1. / 3., cosmo=None):
         if k is None:
             k = np.logspace(-3., 1., 400)
         self.k = np.asarray(k, dtype='f8')
@@ -45,7 +45,7 @@ class BasePowerSpectrumTemplate(Calculator):
         self.fiducial = bg.resolve(fiducial if isinstance(fiducial, dict) else None)
         self.only_now = bool(only_now)
         self.with_now = with_now or (only_now and 'peakaverage')
-        self.apeffect = APEffect(z=self.z, mode=apmode, eta=eta,
+        self.apeffect = APEffect(z=self.z, mode=apmode, eta=eta, cosmo=cosmo,
                                  fiducial=fiducial if isinstance(fiducial, dict) else None)
         self._set_fiducial()
 
@@ -240,11 +240,10 @@ class DirectPowerSpectrumTemplate(BasePowerSpectrumTemplate):
         self.cosmo = Cosmology(fiducial=fiducial if isinstance(fiducial, dict) else None)
         for name in varied:
             self.cosmo.init.params.set(_direct_param(name))
+        # the AP effect shares this cosmology node (passed via init so it
+        # survives re-initialization)
         super().initialize(k=k, z=z, fiducial=fiducial, apmode='geometry',
-                           with_now=with_now, only_now=only_now, eta=eta)
-        # share the cosmology node with the AP effect
-        self.apeffect.cosmo = self.cosmo
-        self.apeffect.runtime_info.requires = None
+                           with_now=with_now, only_now=only_now, eta=eta, cosmo=self.cosmo)
         if self.with_now:
             self._filter = lin.NoWiggleFilter(self.k)
 
