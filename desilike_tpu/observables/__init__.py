@@ -3,3 +3,4 @@ from .window import (WindowedPowerSpectrumMultipoles, WindowedCorrelationFunctio
 from .power_spectrum import TracerPowerSpectrumMultipolesObservable
 from .covariance import (BaseFootprint, BoxFootprint, CutskyFootprint,
                          ObservablesCovarianceMatrix, integral_legendre_product)
+from .correlation_function import TracerCorrelationFunctionMultipolesObservable
