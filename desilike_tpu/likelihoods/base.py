@@ -88,7 +88,9 @@ class BaseLikelihood(Calculator):
 
     def _compute_static_J(self, pipe, names, static_idx, likelihoods):
         """Exact constant design matrices via unit-step differences (exact for
-        linear contributions), host-side at build time."""
+        linear contributions), host-side at build time. Guarded against being
+        staged into an enclosing trace (logpost_fn may be built lazily inside
+        a jit)."""
         defaults = pipe.input_defaults()
 
         def diffs_at(overrides):
@@ -99,13 +101,14 @@ class BaseLikelihood(Calculator):
             return [np.asarray(like.flatdiff_white, dtype='f8') for like in likelihoods
                     if hasattr(like, 'flatdiff_white')]
 
-        base = diffs_at({})
-        Js = [np.zeros((len(static_idx), len(b))) for b in base]
-        for row, i in enumerate(static_idx):
-            name = names[i]
-            plus = diffs_at({name: defaults[name] + 1.})
-            for ilike, (b, pl) in enumerate(zip(base, plus)):
-                Js[ilike][row] = pl - b
+        with jax.ensure_compile_time_eval():
+            base = diffs_at({})
+            Js = [np.zeros((len(static_idx), len(b))) for b in base]
+            for row, i in enumerate(static_idx):
+                name = names[i]
+                plus = diffs_at({name: defaults[name] + 1.})
+                for ilike, (b, pl) in enumerate(zip(base, plus)):
+                    Js[ilike][row] = pl - b
         return Js
 
     def logpost_fn(self, jit=True):

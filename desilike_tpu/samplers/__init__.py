@@ -2,3 +2,4 @@ from .base import BasePosteriorSampler
 from .ensemble import EnsembleSampler
 from .mcmc import MCMCSampler
 from .nuts import NUTSSampler
+from .deterministic import GridSampler, QMCSampler, ImportanceSampler

@@ -31,7 +31,7 @@ class BasePosteriorSampler(BaseClass):
         self.save_fn = save_fn
         self.max_tries = int(max_tries)
         self.key = jax.random.key(seed)
-        self._logpost_aux = likelihood.logpost_fn()
+        self._logpost_aux_fn = None
         self._resume_chain = chains if isinstance(chains, Chain) else (Chain.load(chains) if chains else None)
         self.diagnostics = {}
 
@@ -40,6 +40,12 @@ class BasePosteriorSampler(BaseClass):
         return sub
 
     # --- flat-vector posterior ---
+
+    @property
+    def _logpost_aux(self):
+        if self._logpost_aux_fn is None:
+            self._logpost_aux_fn = self.likelihood.logpost_fn()
+        return self._logpost_aux_fn
 
     def logpost_flat(self, theta):
         """theta (ndim,) -> (logposterior, aux dict of scalars)."""

@@ -1,0 +1,117 @@
+"""Deterministic samplers: grid, quasi-Monte-Carlo, importance reweighting.
+
+Counterparts of reference samplers/grid.py, qmc.py, importance.py.
+Grid/QMC feed the emulators (Taylor uses derivative grids, MLP uses QMC
+draws); Importance reweights existing chains under a new likelihood.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .base import BasePosteriorSampler
+from ..parameters import Samples
+from ..samples.chain import Chain
+
+
+class GridSampler(BasePosteriorSampler):
+    """Regular grid over the varied parameters (reference samplers/grid.py).
+
+    size : int or dict name -> int (points per dimension)
+    grid_range : 'ref' (a few ref-sigmas around center) or dict name -> (lo, hi)
+    """
+
+    def __init__(self, likelihood, size=3, sigmas=3., grid_range=None, **kwargs):
+        super().__init__(likelihood, **kwargs)
+        self.size = size if isinstance(size, dict) else {n: int(size) for n in self.names}
+        self.sigmas = float(sigmas)
+        self.grid_range = grid_range or {}
+
+    def _axes(self):
+        axes = []
+        for p in self.varied_params:
+            n = self.size.get(p.name, self.size.get(p.basename, 3))
+            if p.name in self.grid_range:
+                lo, hi = self.grid_range[p.name]
+            else:
+                center = p.value
+                scale = p.proposal or (p.prior.std if p.prior is not None and np.isfinite(p.prior.std) else 1.)
+                lo, hi = center - self.sigmas * scale, center + self.sigmas * scale
+                if p.prior is not None and p.prior.is_limited:
+                    lo = max(lo, p.prior.limits[0])
+                    hi = min(hi, p.prior.limits[1])
+            axes.append(np.linspace(lo, hi, n) if n > 1 else np.array([p.value]))
+        return axes
+
+    def run(self):
+        axes = self._axes()
+        mesh = np.meshgrid(*axes, indexing='ij')
+        pts = np.column_stack([m.reshape(-1) for m in mesh])
+        lps, aux = jax.jit(self.logpost_batch)(jnp.asarray(pts))
+        samples = Samples()
+        for i, p in enumerate(self.varied_params):
+            samples[p] = pts[:, i]
+        samples['logposterior'] = np.asarray(lps)
+        for name, val in aux.items():
+            if np.ndim(val) == 1:
+                samples[name] = np.asarray(val)
+        samples.attrs['grid_shape'] = tuple(len(a) for a in axes)
+        return samples
+
+
+class QMCSampler(BasePosteriorSampler):
+    """Quasi-Monte-Carlo sampling of the ref distributions
+    (reference samplers/qmc.py; engines sobol/halton/lhs)."""
+
+    def __init__(self, likelihood, engine='sobol', **kwargs):
+        super().__init__(likelihood, **kwargs)
+        self.engine = str(engine)
+
+    def run(self, niterations=256, evaluate=False):
+        from scipy.stats import qmc
+        d = self.ndim
+        seed = int(jax.random.randint(self._next_key(), (), 0, 2 ** 30))
+        if self.engine == 'sobol':
+            eng = qmc.Sobol(d, seed=seed)
+            u = eng.random(int(niterations))
+        elif self.engine == 'halton':
+            u = qmc.Halton(d, seed=seed).random(int(niterations))
+        elif self.engine == 'lhs':
+            u = qmc.LatinHypercube(d, seed=seed).random(int(niterations))
+        else:
+            raise ValueError('unknown engine {}'.format(self.engine))
+        pts = np.empty_like(u)
+        for i, p in enumerate(self.varied_params):
+            dist = p.ref if p.ref is not None else p.prior
+            pts[:, i] = dist.ppf(u[:, i])
+        samples = Samples()
+        for i, p in enumerate(self.varied_params):
+            samples[p] = pts[:, i]
+        if evaluate:
+            lps, _ = jax.jit(self.logpost_batch)(jnp.asarray(pts))
+            samples['logposterior'] = np.asarray(lps)
+        return samples
+
+
+class ImportanceSampler(BasePosteriorSampler):
+    """Reweight an existing chain under this likelihood
+    (reference samplers/importance.py)."""
+
+    def run(self, chain, batch=4096):
+        pts, names = chain.points([p.name for p in self.varied_params])
+        lps = []
+        fn = jax.jit(self.logpost_batch)
+        for start in range(0, len(pts), batch):
+            lp, _ = fn(jnp.asarray(pts[start:start + batch]))
+            lps.append(np.asarray(lp))
+        lps = np.concatenate(lps).reshape(chain.shape)
+        new = chain.copy()
+        old_lp = np.asarray(chain['logposterior']) if 'logposterior' in chain else 0.
+        logw = lps - old_lp
+        logw = logw - np.max(logw[np.isfinite(logw)])
+        aweight = np.exp(np.where(np.isfinite(logw), logw, -np.inf))
+        if 'aweight' in new:
+            aweight = aweight * np.asarray(new['aweight'])
+        new['aweight'] = aweight
+        new['logposterior'] = lps
+        return new

@@ -34,7 +34,7 @@ class BasePowerSpectrumTemplate(Calculator):
     fiducial ``*_fid`` twins.
     """
 
-    _state_attrs = ['pk_dd', 'pknow_dd', 'f']
+    _state_attrs = ['pk_dd', 'pknow_dd', 'f', 'fsigma8', 'qpar', 'qper']
 
     def initialize(self, k=None, z=1., fiducial=None, apmode='qparqper',
                    with_now='peakaverage', only_now=False, eta=1. / 3., cosmo=None):
@@ -104,10 +104,14 @@ class BasePowerSpectrumTemplate(Calculator):
         return self.apeffect.qper
 
     def ap_k_mu(self, k, mu):
-        return self.apeffect.ap_k_mu(k, mu)
+        # via self.qpar/self.qper (not the apeffect node) so that emulated
+        # templates, which store qpar/qper as plain state, keep working
+        from .base import ap_k_mu
+        return ap_k_mu(k, mu, qpar=self.qpar, qper=self.qper)
 
     def ap_s_mu(self, s, mu):
-        return self.apeffect.ap_s_mu(s, mu)
+        from .base import ap_s_mu
+        return ap_s_mu(s, mu, qpar=self.qpar, qper=self.qper)
 
 
 class FixedPowerSpectrumTemplate(BasePowerSpectrumTemplate):
