@@ -1,2 +1,8 @@
 from .base import (BaseLikelihood, BaseGaussianLikelihood,
                    ObservablesGaussianLikelihood, SumLikelihood)
+from .base import FisherGaussianLikelihood
+from .external import (BaseBBNLikelihood, Schoneberg2024BBNLikelihood,
+                       H0Likelihood, Riess2020H0Likelihood, MbLikelihood, Riess2020MbLikelihood,
+                       CMBDistancePriorLikelihood)
+from .supernovae import (BaseSNLikelihood, PantheonLikelihood, PantheonPlusLikelihood,
+                         Union3Likelihood, DESY5SNLikelihood)

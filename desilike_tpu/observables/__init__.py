@@ -4,3 +4,5 @@ from .power_spectrum import TracerPowerSpectrumMultipolesObservable
 from .covariance import (BaseFootprint, BoxFootprint, CutskyFootprint,
                          ObservablesCovarianceMatrix, integral_legendre_product)
 from .correlation_function import TracerCorrelationFunctionMultipolesObservable
+from .compression import (BaseCompressionObservable, BAOCompressionObservable,
+                          ShapeFitCompressionObservable, StandardCompressionObservable)

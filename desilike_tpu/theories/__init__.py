@@ -9,3 +9,9 @@ from .bao import (DampedBAOWigglesPowerSpectrumMultipoles, SimpleBAOWigglesPower
                   ResummedBAOWigglesTracerPowerSpectrumMultipoles, FlexibleBAOWigglesTracerPowerSpectrumMultipoles,
                   DampedBAOWigglesTracerCorrelationFunctionMultipoles, SimpleBAOWigglesTracerCorrelationFunctionMultipoles,
                   ResummedBAOWigglesTracerCorrelationFunctionMultipoles)
+from .extractors import BAOExtractor, StandardPowerSpectrumExtractor, ShapeFitPowerSpectrumExtractor
+from .full_shape import (KaiserPowerSpectrumMultipoles, KaiserTracerPowerSpectrumMultipoles,
+                         EFTLikeKaiserTracerPowerSpectrumMultipoles,
+                         KaiserTracerCorrelationFunctionMultipoles,
+                         EFTLikeKaiserTracerCorrelationFunctionMultipoles)
+from .ept import EPTTracerPowerSpectrumMultipoles, EPTTracerCorrelationFunctionMultipoles
