@@ -6,3 +6,6 @@ from .covariance import (BaseFootprint, BoxFootprint, CutskyFootprint,
 from .correlation_function import TracerCorrelationFunctionMultipolesObservable
 from .compression import (BaseCompressionObservable, BAOCompressionObservable,
                           ShapeFitCompressionObservable, StandardCompressionObservable)
+from .fiber_collisions import (TopHatFiberCollisionsPowerSpectrumMultipoles,
+                               FiberCollisionsPowerSpectrumMultipoles,
+                               SystematicTemplatePowerSpectrumMultipoles)
