@@ -3,3 +3,4 @@ from .ensemble import EnsembleSampler
 from .mcmc import MCMCSampler
 from .nuts import NUTSSampler
 from .deterministic import GridSampler, QMCSampler, ImportanceSampler
+from .hmc import HMCSampler, MCLMCSampler

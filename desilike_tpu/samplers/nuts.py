@@ -254,12 +254,15 @@ class NUTSSampler(BasePosteriorSampler):
             return lp + logjac
         return jax.value_and_grad(logdens)
 
+    def _make_kernel(self, lg):
+        return build_nuts_kernel(lg, self.ndim, max_depth=self.max_depth)
+
     def run(self, nsteps=1000, nwarmup=None, thin=1):
         if nwarmup is None:
             nwarmup = max(200, nsteps // 2)
         ndim = self.ndim
         lg = self._logdens_grad()
-        kernel = build_nuts_kernel(lg, ndim, max_depth=self.max_depth)
+        kernel = self._make_kernel(lg)
         target = self.target_accept
 
         x0, _ = self.get_start(self.nchains)

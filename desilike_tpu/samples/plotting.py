@@ -1,0 +1,154 @@
+"""Plotting: triangle (corner), trace, and profile plots in pure matplotlib.
+
+Counterpart of reference samples/plotting.py (which wraps getdist/
+anesthetic): here self-contained weighted-KDE corner plots, so no plotting
+dependencies beyond matplotlib.
+"""
+
+import numpy as np
+
+
+def _gaussian_kde_1d(x, w, grid, bw_factor=1.):
+    x = np.asarray(x, dtype='f8')
+    w = np.asarray(w, dtype='f8')
+    w = w / w.sum()
+    mu = np.sum(w * x)
+    sig = np.sqrt(np.sum(w * (x - mu) ** 2))
+    neff = 1. / np.sum(w ** 2)
+    bw = bw_factor * sig * neff ** (-1. / 5.) + 1e-30
+    return np.sum(w[None, :] * np.exp(-0.5 * ((grid[:, None] - x[None, :]) / bw) ** 2), axis=1) / (bw * np.sqrt(2 * np.pi))
+
+
+def _contour_levels_2d(H, cls=(0.68, 0.95)):
+    Hs = np.sort(H.reshape(-1))[::-1]
+    c = np.cumsum(Hs)
+    c /= c[-1]
+    return sorted(Hs[np.searchsorted(c, cl)] for cl in cls)
+
+
+def plot_triangle(chains, params=None, labels=None, colors=None, fn=None, show=False,
+                  nbins2d=40, truths=None):
+    """Corner plot of one or several chains.
+
+    chains : Chain or list of Chain
+    params : list of parameter names (default: all non-reserved)
+    truths : dict name -> value, drawn as lines
+    """
+    from matplotlib import pyplot as plt
+    if not isinstance(chains, (list, tuple)):
+        chains = [chains]
+    if params is None:
+        params = [p.name for p in chains[0].params if p.name not in chains[0]._reserved]
+    params = [getattr(p, 'name', p) for p in params]
+    n = len(params)
+    if colors is None:
+        colors = ['C{:d}'.format(i) for i in range(len(chains))]
+    fig, axes = plt.subplots(n, n, figsize=(2.2 * n, 2.2 * n), squeeze=False)
+    fig.subplots_adjust(hspace=0.08, wspace=0.08)
+
+    lims = {}
+    for name in params:
+        los, his = [], []
+        for chain in chains:
+            x = np.asarray(chain[name]).reshape(-1)
+            w = chain.weight.reshape(-1)
+            mu = np.average(x, weights=w)
+            sig = np.sqrt(np.average((x - mu) ** 2, weights=w))
+            los.append(mu - 3.5 * sig)
+            his.append(mu + 3.5 * sig)
+        lims[name] = (min(los), max(his))
+
+    for i, pi in enumerate(params):
+        for j, pj in enumerate(params):
+            ax = axes[i][j]
+            if j > i:
+                ax.axis('off')
+                continue
+            if i == j:
+                grid = np.linspace(*lims[pi], 200)
+                for chain, color in zip(chains, colors):
+                    x = np.asarray(chain[pi]).reshape(-1)
+                    w = chain.weight.reshape(-1)
+                    ax.plot(grid, _gaussian_kde_1d(x, w, grid), color=color)
+                if truths and pi in truths:
+                    ax.axvline(truths[pi], color='k', linestyle=':', lw=1)
+                ax.set_yticks([])
+            else:
+                for chain, color in zip(chains, colors):
+                    x = np.asarray(chain[pj]).reshape(-1)
+                    y = np.asarray(chain[pi]).reshape(-1)
+                    w = chain.weight.reshape(-1)
+                    H, xe, ye = np.histogram2d(x, y, bins=nbins2d,
+                                               range=[lims[pj], lims[pi]], weights=w)
+                    # light smoothing
+                    from scipy.ndimage import gaussian_filter
+                    H = gaussian_filter(H, 1.0)
+                    levels = _contour_levels_2d(H)
+                    xc = (xe[1:] + xe[:-1]) / 2
+                    yc = (ye[1:] + ye[:-1]) / 2
+                    ax.contour(xc, yc, H.T, levels=levels, colors=color)
+                if truths:
+                    if pj in truths:
+                        ax.axvline(truths[pj], color='k', linestyle=':', lw=1)
+                    if pi in truths:
+                        ax.axhline(truths[pi], color='k', linestyle=':', lw=1)
+            if i == n - 1:
+                label = labels[j] if labels else (chains[0].params[pj].latex if pj in chains[0].params else pj)
+                ax.set_xlabel('$' + label + '$' if not label.startswith('$') else label)
+            else:
+                ax.set_xticklabels([])
+            if j == 0 and i > 0:
+                label = labels[i] if labels else (chains[0].params[pi].latex if pi in chains[0].params else pi)
+                ax.set_ylabel('$' + label + '$' if not label.startswith('$') else label)
+            elif j > 0:
+                ax.set_yticklabels([])
+            ax.set_xlim(lims[pj])
+            if i != j:
+                ax.set_ylim(lims[pi])
+    if fn:
+        fig.savefig(fn, bbox_inches='tight', dpi=120)
+    if show:
+        from matplotlib import pyplot as plt
+        plt.show()
+    return fig
+
+
+def plot_trace(chain, params=None, fn=None, show=False):
+    """Per-chain trace plots."""
+    from matplotlib import pyplot as plt
+    if params is None:
+        params = [p.name for p in chain.params if p.name not in chain._reserved]
+    params = [getattr(p, 'name', p) for p in params]
+    fig, axes = plt.subplots(len(params), 1, figsize=(8, 1.6 * len(params)),
+                             sharex=True, squeeze=False)
+    for ax, name in zip(axes[:, 0], params):
+        arr = np.asarray(chain[name])
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        for c in range(arr.shape[1]):
+            ax.plot(arr[:, c], lw=0.5, alpha=0.7)
+        ax.set_ylabel(name)
+    axes[-1, 0].set_xlabel('step')
+    if fn:
+        fig.savefig(fn, bbox_inches='tight', dpi=120)
+    if show:
+        plt.show()
+    return fig
+
+
+def plot_profile(profiles, params=None, fn=None, show=False):
+    """1D profiled-chi2 curves from a Profiles container."""
+    from matplotlib import pyplot as plt
+    items = profiles.profile if params is None else {getattr(p, 'name', p): profiles.profile[getattr(p, 'name', p)] for p in params}
+    n = len(items)
+    fig, axes = plt.subplots(1, max(n, 1), figsize=(3.2 * max(n, 1), 3), squeeze=False)
+    for ax, (name, (values, chi2)) in zip(axes[0], items.items()):
+        ax.plot(values, chi2 - chi2.min())
+        ax.axhline(1., color='k', linestyle=':', lw=1)
+        ax.set_xlabel(name)
+        ax.set_ylabel(r'$\Delta \chi^2$')
+    if fn:
+        fig.savefig(fn, bbox_inches='tight', dpi=120)
+    if show:
+        plt.show()
+    return fig

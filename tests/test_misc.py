@@ -1,0 +1,75 @@
+"""Collection, vmap facade, YAML config, plotting smoke tests."""
+import os
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import desilike_tpu
+from desilike_tpu import from_config, vmap, CollectionCalculator, Chain
+from test_samplers import GaussianModel
+
+
+def test_from_config_yaml(tmp_path):
+    fn = tmp_path / 'theory.yaml'
+    fn.write_text("""
+class: DampedBAOWigglesTracerPowerSpectrumMultipoles
+init:
+  ells: [0, 2]
+  k: e'np.linspace(0.02, 0.3, 29)'
+params:
+  'al*':
+    derived: '.marg'
+""")
+    theory = from_config(str(fn))
+    power = np.asarray(theory.pipeline.evaluate({'b1': 2.0}))
+    assert power.shape == (2, 29)
+    assert len(theory.pipeline.solved_params) == 10
+
+
+def test_vmap_facade():
+    like = GaussianModel()
+    fn_raw = like.logpost_fn(jit=False)
+    batched = vmap(lambda v: fn_raw(v)[0])
+    out = batched({'a': np.linspace(0.5, 1.5, 8), 'b': np.full(8, -0.5)})
+    assert out.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_collection_calculator():
+    from desilike_tpu.theories import DampedBAOWigglesTracerPowerSpectrumMultipoles
+    t1 = DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0,), k=np.linspace(0.02, 0.2, 10), namespace='a')
+    t2 = DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0,), k=np.linspace(0.02, 0.2, 10), namespace='b')
+    coll = CollectionCalculator(calculators=[t1, t2])
+    pipe = coll.pipeline
+    pipe.evaluate({'a.b1': 2.0, 'b.b1': 1.5})
+    state = coll.__getstate__()
+    assert '0_power' in state and '1_power' in state
+    assert not np.allclose(np.asarray(state['0_power']), np.asarray(state['1_power']))
+
+
+def test_plotting_smoke(tmp_path):
+    from desilike_tpu.samples.plotting import plot_triangle, plot_trace
+    from desilike_tpu.samplers import EnsembleSampler
+    like = GaussianModel()
+    chain = EnsembleSampler(like, seed=1, nwalkers=32).run(nsteps=200).remove_burnin(0.5)
+    fig = plot_triangle(chain, params=['a', 'b'], fn=str(tmp_path / 'tri.png'),
+                        truths={'a': 1.0, 'b': -0.5})
+    assert os.path.exists(tmp_path / 'tri.png')
+    plot_trace(chain, params=['a'], fn=str(tmp_path / 'trace.png'))
+    assert os.path.exists(tmp_path / 'trace.png')
+    import matplotlib.pyplot as plt
+    plt.close('all')
+
+
+def test_chain_save_load_getdist(tmp_path):
+    from desilike_tpu.samplers import EnsembleSampler
+    like = GaussianModel()
+    chain = EnsembleSampler(like, seed=2, nwalkers=32).run(nsteps=100)
+    fn = tmp_path / 'chain.npz'
+    chain.save(fn)
+    loaded = Chain.load(str(fn))
+    np.testing.assert_allclose(np.asarray(loaded['a']), np.asarray(chain['a']))
+    chain.write_getdist(str(tmp_path / 'gd'))
+    assert os.path.exists(tmp_path / 'gd.txt') and os.path.exists(tmp_path / 'gd.paramnames')
+    arr = np.loadtxt(tmp_path / 'gd.txt')
+    assert arr.shape[1] == 2 + 2  # weight, -logpost, a, b... plus extras

@@ -89,3 +89,26 @@ def test_nuts_recovers_gaussian():
         assert chain.std(name) == pytest.approx(np.sqrt(cov[i, i]), rel=0.25)
     # NUTS should decorrelate fast: high ESS per sample
     assert chain.effective_sample_size('a') > 300
+
+
+def test_hmc_recovers_gaussian():
+    from desilike_tpu.samplers import HMCSampler
+    like = GaussianModel()
+    sampler = HMCSampler(like, seed=9, nchains=4, nleapfrog=16)
+    chain = sampler.run(nsteps=400, nwarmup=300)
+    cov = analytic_cov()
+    for i, name in enumerate(('a', 'b')):
+        assert chain.mean(name) == pytest.approx(GaussianModel._mean[i], abs=4 * np.sqrt(cov[i, i]) / 10)
+        assert chain.std(name) == pytest.approx(np.sqrt(cov[i, i]), rel=0.3)
+
+
+def test_mclmc_runs():
+    from desilike_tpu.samplers import MCLMCSampler
+    like = GaussianModel()
+    sampler = MCLMCSampler(like, seed=9, nchains=4)
+    chain = sampler.run(nsteps=1500, nwarmup=500)
+    cov = analytic_cov()
+    # unadjusted method: looser tolerances
+    for i, name in enumerate(('a', 'b')):
+        assert chain.mean(name) == pytest.approx(GaussianModel._mean[i], abs=5 * np.sqrt(cov[i, i]) / 10)
+        assert chain.std(name) == pytest.approx(np.sqrt(cov[i, i]), rel=0.5)
