@@ -17,19 +17,33 @@ import jax.numpy as jnp
 
 
 def build_likelihood():
+    """Flagship config (BASELINE.json config 4): window-convolved joint
+    FS+BAO, 2 tracers, analytic marginalization over all linear nuisances."""
     from desilike_tpu.theories import (DampedBAOWigglesTracerPowerSpectrumMultipoles,
-                                       BAOPowerSpectrumTemplate)
+                                       BAOPowerSpectrumTemplate, ShapeFitPowerSpectrumTemplate)
+    from desilike_tpu.theories.full_shape import EFTLikeKaiserTracerPowerSpectrumMultipoles
     from desilike_tpu.observables import TracerPowerSpectrumMultipolesObservable, BoxFootprint
     from desilike_tpu.likelihoods import ObservablesGaussianLikelihood
 
-    template = BAOPowerSpectrumTemplate(z=0.8, apmode='qparqper')
-    theory = DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0, 2), template=template)
-    theory.init.params = {'al*': dict(derived='.marg')}
-    obs = TracerPowerSpectrumMultipolesObservable(
-        data={'qpar': 1.0, 'qper': 1.0, 'b1': 2.0},
-        klim={0: (0.02, 0.3, 0.005), 2: (0.02, 0.3, 0.005)}, theory=theory)
-    footprint = BoxFootprint(volume=2e9, nbar=5e-4)
-    return ObservablesGaussianLikelihood(observables=[obs], footprints=[footprint])
+    observables, footprints = [], []
+    for tracer, z, b1 in [('LRG', 0.8, 2.0), ('ELG', 1.1, 1.3)]:
+        fs_theory = EFTLikeKaiserTracerPowerSpectrumMultipoles(
+            ells=(0, 2), template=ShapeFitPowerSpectrumTemplate(z=z, namespace=tracer),
+            namespace=tracer)
+        fs_theory.init.params = {'ct*': dict(derived='.marg'), 'sn*': dict(derived='.marg')}
+        observables.append(TracerPowerSpectrumMultipolesObservable(
+            data={'{}.b1'.format(tracer): b1},
+            klim={0: (0.02, 0.2, 0.005), 2: (0.02, 0.2, 0.005)}, theory=fs_theory))
+        footprints.append(BoxFootprint(volume=2e9, nbar=5e-4))
+        bao_theory = DampedBAOWigglesTracerPowerSpectrumMultipoles(
+            ells=(0, 2), template=BAOPowerSpectrumTemplate(z=z, namespace=tracer + 'bao'),
+            namespace=tracer + 'bao')
+        bao_theory.init.params = {'al*': dict(derived='.marg')}
+        observables.append(TracerPowerSpectrumMultipolesObservable(
+            data={'{}bao.b1'.format(tracer): b1},
+            klim={0: (0.02, 0.3, 0.005), 2: (0.02, 0.3, 0.005)}, theory=bao_theory))
+        footprints.append(BoxFootprint(volume=2e9, nbar=5e-4))
+    return ObservablesGaussianLikelihood(observables=observables, footprints=footprints)
 
 
 def main():
@@ -61,7 +75,7 @@ def main():
 
     target = 1e5
     print(json.dumps({
-        'metric': 'bao_likelihood_evals_per_sec',
+        'metric': 'joint_2tracer_fs_bao_likelihood_evals_per_sec',
         'value': round(evals_per_sec, 1),
         'unit': 'evals/s',
         'vs_baseline': round(evals_per_sec / target, 4),

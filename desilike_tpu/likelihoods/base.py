@@ -111,6 +111,32 @@ class BaseLikelihood(Calculator):
                     Js[ilike][row] = pl - b
         return Js
 
+    def _analytic_basis_plan(self, pipe, solved, dyn_idx, likelihoods):
+        """For dynamically-solved params whose theory exposes
+        ``solved_power_basis`` (exactly-linear terms with traced bases, e.g.
+        EFT counterterms x pk11), the J rows can be computed in the primal
+        run — no linearize tangents. Returns (analytic_idx, plan) where plan
+        maps solved index -> list over likelihoods of basis getters (None =
+        zero rows)."""
+        gauss = [like for like in likelihoods if hasattr(like, 'flatdata')]
+        plan = {}
+        analytic = []
+        for i in dyn_idx:
+            p = solved[i]
+            getters = []
+            ok = True
+            for like in gauss:
+                getter = getattr(like, 'solved_flat_basis_fn', None)
+                g = getter(p) if getter is not None else None
+                if g is False:   # param affects this likelihood, no analytic basis
+                    ok = False
+                    break
+                getters.append(g)   # callable or None (zero rows)
+            if ok and any(g is not None for g in getters):
+                analytic.append(i)
+                plan[i] = getters
+        return analytic, plan
+
     def logpost_fn(self, jit=True):
         """Pure function {varied name: value} -> (logposterior, aux dict).
 
@@ -124,6 +150,8 @@ class BaseLikelihood(Calculator):
         nsolved = len(names)
         static_idx = self._static_linear_indices(pipe, solved) if nsolved else []
         dyn_idx = [i for i in range(nsolved) if i not in static_idx]
+        analytic_idx, basis_plan = self._analytic_basis_plan(pipe, solved, dyn_idx, likelihoods) if dyn_idx else ([], {})
+        dyn_idx = [i for i in dyn_idx if i not in analytic_idx]
         static_Js = None
         if static_idx:
             static_Js = self._compute_static_J(pipe, names, static_idx, likelihoods)
@@ -159,7 +187,8 @@ class BaseLikelihood(Calculator):
                 diffs, derived = inner(s0_dyn)
                 Js_dyn = tuple(jnp.zeros((0, d.shape[0]), d.dtype) for d in diffs)
             # assemble full J per likelihood: constant rows for static-linear
-            # params, traced rows for the rest, in solved order
+            # params, analytic-basis rows (from the primal), traced rows for
+            # the rest, in solved order
             Js = []
             for ilike, d in enumerate(diffs):
                 J = jnp.zeros((nsolved, d.shape[0]), d.dtype)
@@ -168,6 +197,10 @@ class BaseLikelihood(Calculator):
                         jnp.asarray(static_Js[ilike], dtype=d.dtype))
                 if dyn_idx:
                     J = J.at[jnp.asarray(dyn_idx, dtype=jnp.int32)].set(Js_dyn[ilike])
+                for i in analytic_idx:
+                    g = basis_plan[i][ilike]
+                    if g is not None:
+                        J = J.at[i].set(g())
                 Js.append(J)
             Js = tuple(Js)
 
@@ -186,10 +219,14 @@ class BaseLikelihood(Calculator):
             # Jacobi equilibration: the solved basis (e.g. broadband powers
             # k^-3..k^1) can be wildly scaled; rescaling by sqrt(diag(-H))
             # reduces the condition number to that of the correlation matrix,
-            # keeping the Newton solve float32-stable on TPU.
+            # keeping the Newton solve float32-stable on TPU. The solve and
+            # logdet use the unrolled small-matrix Cholesky (ops/linalg.py):
+            # LAPACK custom-calls under vmap cost ~5x the whole pipeline.
+            from ..ops.linalg import chol_small, chol_solve_small, chol_logdet_small
             scale = 1. / jnp.sqrt(jnp.clip(-jnp.diag(H), 1e-30, None))
             Hs = H * scale[:, None] * scale[None, :]
-            dxs = -jnp.linalg.solve(Hs, g * scale)
+            Ls = chol_small(-Hs)
+            dxs = chol_solve_small(Ls, g * scale)
             dx = scale * dxs
             x = s0 + dx
 
@@ -205,11 +242,17 @@ class BaseLikelihood(Calculator):
                     ll = like.loglikelihood
                 loglike = loglike + ll
             if marg_idx.size:
-                midx = jnp.asarray(marg_idx)
                 # logdet in the equilibrated basis + scale correction:
                 # logdet(-H_m) = logdet(-Hs_m) - 2 sum(log scale_m)
-                Hsm = Hs[jnp.ix_(midx, midx)]
-                logdet = jnp.linalg.slogdet(-Hsm)[1] - 2. * jnp.sum(jnp.log(scale[midx]))
+                if len(marg_idx) == nsolved:
+                    ld_s = chol_logdet_small(Ls)
+                    scale_m = scale
+                else:
+                    midx = jnp.asarray(marg_idx)
+                    Hsm = Hs[jnp.ix_(midx, midx)]
+                    ld_s = chol_logdet_small(chol_small(-Hsm))
+                    scale_m = scale[midx]
+                logdet = ld_s - 2. * jnp.sum(jnp.log(scale_m))
                 loglike = loglike - 0.5 * logdet
 
             logprior = pipe.logprior(full)
@@ -319,6 +362,54 @@ class ObservablesGaussianLikelihood(BaseGaussianLikelihood):
 
     def calculate(self, **params):
         super().calculate(**params)
+
+    def solved_flat_basis_fn(self, param):
+        """Analytic whitened J-row getter for an exactly-linear solved param
+        whose theory exposes ``solved_power_basis`` (e.g. EFT counterterms):
+        returns a callable (evaluated post-calculate, traced), None if the
+        param does not touch this likelihood, or False if it does but no
+        analytic basis is available (falls back to linearize)."""
+        from ..core import Pipeline
+        per_obs = []
+        touches = False
+        for obs in self.observables:
+            wmat = getattr(obs, 'wmatrix', None)
+            theory = getattr(wmat, 'theory', None)
+            owns = False
+            try:
+                for calc in Pipeline(obs).calculators:
+                    if param.name in calc.runtime_info.params:
+                        owns = True
+                        break
+            except Exception:
+                owns = False
+            if not owns:
+                per_obs.append(None)
+                continue
+            touches = True
+            supported = getattr(theory, 'solved_basis_names', ())
+            if theory is None or param.basename not in supported:
+                return False
+            per_obs.append((obs, theory))
+        if not touches:
+            return None
+
+        basename = param.basename
+
+        def getter():
+            rows = []
+            for entry, obs in zip(per_obs, self.observables):
+                n = len(obs.flatdata)
+                if entry is None:
+                    rows.append(jnp.zeros(n))
+                else:
+                    o, theory = entry
+                    basis = theory.solved_power_basis(basename)
+                    W = jnp.asarray(o.wmatrix.wmatrix, dtype=basis.dtype)
+                    rows.append(W @ basis.reshape(-1))
+            flat = jnp.concatenate(rows)
+            return jnp.asarray(self._whiten, dtype=flat.dtype) @ flat
+        return getter
 
 
 class FisherGaussianLikelihood(BaseGaussianLikelihood):

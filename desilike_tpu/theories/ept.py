@@ -85,6 +85,8 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
             return names, rows
 
         self.ct_names, self.ct_ells = build('ct')
+        # exact linear counterterms: expose analytic marginalization bases
+        self.solved_basis_names = tuple(self.ct_names)
 
     def _pk_fn(self):
         """Masked linear pk evaluator: zero outside the template table range
@@ -118,10 +120,13 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         pkmu = jac * (dd_ap + 2. * f * muap ** 2 * dt_ap + f ** 2 * muap ** 4 * tt_ap)
         # EFT counterterms: (ct_l mu^(l) pattern) k^2 P_lin
         mu_pows = {0: 1., 2: muap ** 2, 4: muap ** 4}
+        self._ct_bases = {}
         for name in self.ct_names:
             ell = self.ct_ells[name]
             ct = params.get(name, 0.)
-            pkmu = pkmu + ct * mu_pows[ell] * kap ** 2 * plin_ap * jac
+            basis_mu = mu_pows[ell] * kap ** 2 * plin_ap * jac
+            self._ct_bases[name] = self.to_poles(jnp.broadcast_to(basis_mu, pkmu.shape))
+            pkmu = pkmu + ct * basis_mu
         # stochastic terms
         k_ = self.k[:, None]
         sn2 = params.get('sn2_2', 0.)
@@ -129,6 +134,9 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         self.power = self.to_poles(pkmu)
         # linear poles for diagnostics / pk11 consumers
         self.pktable = {'pk11': self.to_poles(jnp.broadcast_to(plin_ap, pkmu.shape))}
+
+    def solved_power_basis(self, basename):
+        return self._ct_bases[basename]
 
     @property
     def z(self):

@@ -145,6 +145,15 @@ class EFTLikeKaiserTracerPowerSpectrumMultipoles(KaiserTracerPowerSpectrumMultip
 
         self.counterterm_params, self.counterterm_matrix = build('ct')
         self.stochastic_params, self.stochastic_matrix = build('sn')
+        # counterterms are exactly linear with a traced basis (x pk11): expose
+        # the analytic marginalization bases (likelihoods/base.py protocol)
+        self.solved_basis_names = tuple(self.counterterm_params)
+
+    def solved_power_basis(self, basename):
+        """d power / d ct_name, evaluated post-calculate (traced)."""
+        i = self.counterterm_params.index(basename)
+        pk11_0 = self.pt.pktable['pk11'][self.pt.ells.index(0)]
+        return jnp.asarray(self.counterterm_matrix[:, :, i]) * pk11_0
 
     def calculate(self, b1=1., sn0=0., **params):
         super().calculate(b1=b1, sn0=sn0)
