@@ -42,5 +42,25 @@ def nparray(x):
     return np.asarray(x, dtype='f8')
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def host_eval():
+    """Run eager (initialization-time) JAX computation on the host CPU.
+
+    Under a tunneled/remote TPU platform every eager op is a remote dispatch;
+    init-time work (fiducial tables, data-vector generation, constant design
+    matrices) is latency-bound there, so pin it to the CPU backend.
+    """
+    try:
+        cpu = jax.devices('cpu')[0]
+    except RuntimeError:
+        yield
+        return
+    with jax.default_device(cpu):
+        yield
+
+
 if os.environ.get('DESILIKE_TPU_X64', '') in ('1', 'true', 'True'):
     set_dtype('float64')

@@ -153,11 +153,14 @@ class Pipeline(BaseClass):
         return self.root.get(), derived
 
     def evaluate(self, values=None):
-        """Eager evaluation (debug/introspection path): attributes on the
-        calculators are left as concrete arrays."""
-        full = self._resolve_values(values or {})
-        full = {k: jnp.asarray(v) for k, v in full.items()}
-        result, self.derived = self.run_once(full)
+        """Eager evaluation (debug/introspection/init path): attributes on
+        the calculators are left as concrete arrays. Runs on the host CPU
+        backend (remote-TPU eager dispatch is latency-bound)."""
+        from ..config import host_eval
+        with host_eval():
+            full = self._resolve_values(values or {})
+            full = {k: jnp.asarray(v) for k, v in full.items()}
+            result, self.derived = self.run_once(full)
         return result
 
     def logprior(self, values):

@@ -101,7 +101,8 @@ class BaseLikelihood(Calculator):
             return [np.asarray(like.flatdiff_white, dtype='f8') for like in likelihoods
                     if hasattr(like, 'flatdiff_white')]
 
-        with jax.ensure_compile_time_eval():
+        from ..config import host_eval
+        with jax.ensure_compile_time_eval(), host_eval():
             base = diffs_at({})
             Js = [np.zeros((len(static_idx), len(b))) for b in base]
             for row, i in enumerate(static_idx):
