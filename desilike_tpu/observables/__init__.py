@@ -9,3 +9,4 @@ from .compression import (BaseCompressionObservable, BAOCompressionObservable,
 from .fiber_collisions import (TopHatFiberCollisionsPowerSpectrumMultipoles,
                                FiberCollisionsPowerSpectrumMultipoles,
                                SystematicTemplatePowerSpectrumMultipoles)
+from .bispectrum import TracerBispectrumMultipolesObservable

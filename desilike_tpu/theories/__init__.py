@@ -15,3 +15,5 @@ from .full_shape import (KaiserPowerSpectrumMultipoles, KaiserTracerPowerSpectru
                          KaiserTracerCorrelationFunctionMultipoles,
                          EFTLikeKaiserTracerCorrelationFunctionMultipoles)
 from .ept import EPTTracerPowerSpectrumMultipoles, EPTTracerCorrelationFunctionMultipoles
+from .png import PNGTracerPowerSpectrumMultipoles
+from .bispectrum import TreeLevelBispectrumMultipoles

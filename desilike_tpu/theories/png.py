@@ -1,0 +1,70 @@
+"""Primordial non-Gaussianity: scale-dependent bias tracer power spectrum.
+
+Counterpart of reference theories/galaxy_clustering/primordial_non_gaussianity.py:12.
+Local-type fNL adds Delta-b(k) = b_phi * fNL / alpha(k) with
+alpha(k) = sqrt(P_lin(k, z) / P_R(k)) the matter-to-curvature transfer
+(b_phi = 2 dc (b1 - p), dc = 1.686).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..cosmology import linear as lin
+from .base import BaseTheoryPowerSpectrumMultipoles, WedgesMixin
+from .power_template import DirectPowerSpectrumTemplate
+
+
+class PNGTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, WedgesMixin):
+    r"""fNL tracer P_l(k): (b1 + Delta b(k) + f mu^2)^2 P(k) + sn0/nd.
+
+    Parameters
+    ----------
+    mode : 'b-p' (vary fnl and p with b_phi = 2 dc (b1 - p)) or 'bphi'
+        (vary fnl and bphi directly).
+    """
+
+    _params = {
+        'b1': dict(value=2., prior=dict(limits=[0., 4.]), ref=dict(dist='norm', loc=2., scale=0.1), latex='b_1'),
+        'fnl': dict(value=0., prior=dict(limits=[-300., 300.]), ref=dict(dist='norm', loc=0., scale=5.), latex=r'f_\mathrm{NL}'),
+        'p': dict(value=1., fixed=True, prior=dict(limits=[0., 3.]), latex='p'),
+        'bphi': dict(value=2., fixed=True, prior=dict(limits=[-10., 10.]), latex=r'b_\phi'),
+        'sn0': dict(value=0., prior=dict(dist='norm', loc=0., scale=2.), latex='s_{n,0}'),
+        'sigmas': dict(value=0., fixed=True, prior=dict(limits=[0., 10.]), latex=r'\Sigma_s'),
+    }
+
+    def initialize(self, k=None, ells=(0, 2, 4), template=None, mode='b-p', mu=8,
+                   method='leggauss', shotnoise=1e4):
+        super().initialize(k=k, ells=ells)
+        self.mode = str(mode)
+        if template is None:
+            template = DirectPowerSpectrumTemplate()
+        self.template = template
+        kin = np.geomspace(min(1e-4, self.k[0] / 2), max(1., self.k[-1] * 2), 700)
+        self.template.init.update(k=kin)
+        self.set_k_mu(k=self.k, mu=mu, method=method, ells=self.ells)
+        self.nd = 1. / float(shotnoise)
+        self.delta_c = 1.686
+
+    def calculate(self, b1=2., fnl=0., p=1., bphi=2., sn0=0., sigmas=0., **kw):
+        f = self.template.f
+        jac, kap, muap = self.template.ap_k_mu(self.k, self.mu)
+        pk = self.template.pk_dd_interp(kap)
+        # alpha(k): matter fluctuation per unit primordial curvature
+        cosmo_p = getattr(getattr(self.template, 'cosmo', None), 'p', None) or self.template.fiducial
+        pr = (2. * np.pi ** 2) / kap ** 3 * lin.primordial_curvature(cosmo_p, kap)
+        alpha = jnp.sqrt(pk / pr)
+        if self.mode == 'bphi':
+            bphi_val = bphi
+        else:
+            bphi_val = 2. * self.delta_c * (b1 - p)
+        delta_b = bphi_val * fnl / alpha
+        fog = 1. / (1. + (sigmas * self.k[:, None] * self.mu) ** 2 / 2.) ** 2
+        pkmu = jac * fog * (b1 + delta_b + f * muap ** 2) ** 2 * pk + sn0 / self.nd * 1.
+        self.power = self.to_poles(pkmu)
+
+    @property
+    def z(self):
+        return self.template.z
+
+    def get(self):
+        return self.power
