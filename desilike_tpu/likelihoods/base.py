@@ -50,7 +50,12 @@ class BaseLikelihood(Calculator):
     # --- compiled posterior with analytic marginalization ---
 
     def _solved_setup(self, pipe):
-        solved = pipe.solved_params
+        solved_all = pipe.solved_params
+        prec_params = [p for p in solved_all
+                       if p.derived.split('_not_derived')[0] == '.prec']
+        if prec_params:
+            self._fold_precision(pipe, prec_params)
+        solved = ParameterCollection([p for p in solved_all if p not in prec_params])
         names = solved.names()
         marg_idx, best_idx = [], []
         loc = np.zeros(len(names))
@@ -63,12 +68,50 @@ class BaseLikelihood(Calculator):
                 marg_idx.append(i)
             elif status == '.best':
                 best_idx.append(i)
-            elif status == '.prec':
-                marg_idx.append(i)  # .prec folding not yet specialized; treated as .marg
             if p.prior is not None and p.prior.dist == 'norm':
                 loc[i] = p.prior.loc
                 prec[i] = p.prior.scale ** -2
         return names, solved, np.array(marg_idx, dtype='i4'), loc, prec
+
+    def _fold_precision(self, pipe, prec_params):
+        """'.prec' parameters: marginalized ONCE at initialization into the
+        data covariance (reference _marginalize_precision,
+        likelihoods/base.py:257-312). For a linear parameter s ~ N(loc, sig)
+        with theory t(s) = t(loc) + b (s - loc), marginalizing is exactly
+        C -> C + sig^2 b b^T with s pinned at loc. Requires static-linear
+        contributions (true for broadband/stochastic terms)."""
+        from ..config import host_eval
+        defaults = pipe.input_defaults()
+        gauss = [like for like in self.likelihoods if hasattr(like, 'flatdata')]
+
+        def theory_at(overrides):
+            full = dict(defaults)
+            for p in prec_params:
+                full[p.name] = p.prior.loc if p.prior is not None else 0.
+            full.update(overrides)
+            full = {k: jnp.asarray(v) for k, v in full.items()}
+            pipe.run_once(full)
+            return [np.asarray(like.flattheory() if callable(getattr(like, 'flattheory', None))
+                               else like.flattheory, dtype='f8') for like in gauss]
+
+        with jax.ensure_compile_time_eval(), host_eval():
+            base = theory_at({})
+            for like, t0 in zip(gauss, base):
+                cov = np.array(like.covariance, dtype='f8')
+                for p in prec_params:
+                    loc = p.prior.loc if p.prior is not None else 0.
+                    sig = p.prior.scale if p.prior is not None else np.inf
+                    if not np.isfinite(sig):
+                        raise ValueError('.prec parameter {} needs a proper normal prior'.format(p.name))
+                    tp = theory_at({p.name: loc + 1.})[gauss.index(like)]
+                    b = tp - t0
+                    if np.any(b != 0.):
+                        cov = cov + sig ** 2 * np.outer(b, b)
+                like._set_whitening(cov, hartlap=getattr(like, 'hartlap', 1.))
+        # pin the folded params at their prior centers (they stay '.prec'
+        # solved, i.e. excluded from sampling; the fold above is exact)
+        for p in prec_params:
+            pipe.params[p.name].update(value=p.prior.loc if p.prior is not None else 0.)
 
     def _static_linear_indices(self, pipe, solved):
         """Indices of solved params whose theory contribution is exactly
@@ -149,6 +192,20 @@ class BaseLikelihood(Calculator):
         names, solved, marg_idx, prior_loc, prior_prec = self._solved_setup(pipe)
         likelihoods = self.likelihoods
         nsolved = len(names)
+        # Percival 2014 factor for mock-estimated covariances (reference
+        # likelihoods/base.py:633-656): inflates the data precision by
+        # 1/m with m depending on (nmocks, ndata, nvaried)
+        for like in likelihoods:
+            nm = getattr(like, '_nmocks', 0)
+            if nm and not getattr(like, '_percival_applied', False):
+                nd = like.size
+                nv = len(pipe.varied_params) + nsolved
+                A = 2. / ((nm - nd - 1.) * (nm - nd - 4.))
+                B = (nm - nd - 2.) / ((nm - nd - 1.) * (nm - nd - 4.))
+                m = (1. + B * (nd - nv)) / (1. + A + B * (nv + 1.))
+                like._whiten = like._whiten / np.sqrt(m)
+                like.precision = like.precision / m
+                like._percival_applied = True
         static_idx = self._static_linear_indices(pipe, solved) if nsolved else []
         dyn_idx = [i for i in range(nsolved) if i not in static_idx]
         analytic_idx, basis_plan = self._analytic_basis_plan(pipe, solved, dyn_idx, likelihoods) if dyn_idx else ([], {})
@@ -356,6 +413,7 @@ class ObservablesGaussianLikelihood(BaseGaussianLikelihood):
             if hartlap <= 0:
                 raise ValueError('too few mocks ({}) for data size {}'.format(nmocks, len(self.flatdata)))
         self.hartlap = hartlap
+        self._nmocks = nmocks
         self._set_whitening(covariance, hartlap=hartlap)
 
     def flattheory(self):

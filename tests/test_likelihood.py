@@ -129,3 +129,55 @@ def test_vmap_likelihood():
     assert lps.shape == (16,)
     assert bool(jnp.all(jnp.isfinite(lps)))
     assert int(jnp.argmax(lps)) in (7, 8)
+
+
+def test_prec_folding_matches_marg():
+    """'.prec' (precision-folded once at init) must equal '.marg'
+    (per-evaluation marginalization) for linear parameters."""
+    like_marg = make_bao_likelihood(ells=(0,))
+    like_marg.pipeline.params.update({'al0_0': dict(derived='.marg', prior=dict(dist='norm', loc=0., scale=100.))})
+    # rebuild with explicit statuses
+    def build(status):
+        theory = DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0,))
+        theory.init.params = {'al0_0': dict(derived=status, prior=dict(dist='norm', loc=0., scale=100.))}
+        obs = TracerPowerSpectrumMultipolesObservable(
+            data={}, klim={0: (0.02, 0.3, 0.01)}, theory=theory)
+        return ObservablesGaussianLikelihood(
+            observables=[obs], footprints=[BoxFootprint(volume=1e10, nbar=1e-3)])
+
+    lm = build('.marg')
+    lp = build('.prec')
+    fm = lm.logpost_fn()
+    fp = lp.logpost_fn()
+    for qpar in (1.0, 1.02):
+        vm = {p.name: jnp.asarray(p.value) for p in lm.pipeline.varied_params}
+        vp = {p.name: jnp.asarray(p.value) for p in lp.pipeline.varied_params}
+        lpm, auxm = fm({**vm, 'qpar': jnp.asarray(qpar)})
+        lpp, auxp = fp({**vp, 'qpar': jnp.asarray(qpar)})
+        # loglikelihood agrees up to a constant normalization offset:
+        # compare DIFFERENCES between parameter points
+    d_m = float(fm({**vm, 'qpar': jnp.asarray(1.02)})[1]['loglikelihood']) - \
+        float(fm({**vm, 'qpar': jnp.asarray(1.0)})[1]['loglikelihood'])
+    d_p = float(fp({**vp, 'qpar': jnp.asarray(1.02)})[1]['loglikelihood']) - \
+        float(fp({**vp, 'qpar': jnp.asarray(1.0)})[1]['loglikelihood'])
+    assert d_m == pytest.approx(d_p, rel=1e-3, abs=1e-3)
+
+
+def test_percival_factor_applied():
+    rng = np.random.default_rng(5)
+    theory = DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0,))
+    obs = TracerPowerSpectrumMultipolesObservable(
+        data={}, klim={0: (0.05, 0.15, 0.01)}, theory=theory)
+    obs.runtime_info.initialize()
+    nd = len(obs.flatdata)
+    nmocks = 200
+    mocks = obs.flatdata + rng.normal(0, 0.05 * np.abs(obs.flatdata), (nmocks, nd))
+    obs2 = TracerPowerSpectrumMultipolesObservable(
+        data=obs.flatdata, klim={0: (0.05, 0.15, 0.01)},
+        theory=DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0,)),
+        covariance=list(mocks))
+    like = ObservablesGaussianLikelihood(observables=[obs2])
+    like.runtime_info.initialize()
+    assert like.hartlap < 1.
+    fn = like.logpost_fn()
+    assert getattr(like, '_percival_applied', False)
