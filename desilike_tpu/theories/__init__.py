@@ -17,3 +17,5 @@ from .full_shape import (KaiserPowerSpectrumMultipoles, KaiserTracerPowerSpectru
 from .ept import EPTTracerPowerSpectrumMultipoles, EPTTracerCorrelationFunctionMultipoles
 from .png import PNGTracerPowerSpectrumMultipoles
 from .bispectrum import TreeLevelBispectrumMultipoles
+from .power_template import (WiggleSplitPowerSpectrumTemplate, BandVelocityPowerSpectrumTemplate,
+                             TurnOverPowerSpectrumTemplate)

@@ -272,3 +272,170 @@ def _direct_param(name):
     cfg = dict(_COSMO_PARAM_DEFAULTS[name])
     cfg['fixed'] = False
     return Parameter(basename=name, **cfg)
+
+
+def _sigma_r2_grid(k, pk, r, kernel='gauss'):
+    """sigma_r^2 = 1/(2 pi^2) int k^2 P(k) K(kr) dk on the (static) k grid."""
+    k = jnp.asarray(k)
+    if kernel == 'gauss':
+        w = jnp.exp(-(k * r) ** 2)
+    elif kernel == 'tophat':
+        from ..cosmology.linear import tophat_window
+        w = tophat_window(k * r) ** 2
+    else:
+        raise ValueError(kernel)
+    from ..ops.legendre import trapz_weights
+    wk = jnp.asarray(trapz_weights(np.asarray(k)))
+    return jnp.sum(wk * k ** 2 * pk * w) / (2. * np.pi ** 2)
+
+
+class WiggleSplitPowerSpectrumTemplate(BasePowerSpectrumTemplate):
+    r"""Wiggle-split template (reference power_template.py:1150): the BAO
+    wiggles move with qbao independently of the broadband; dm tilts the
+    broadband as (k/0.05)^dm; the amplitude is re-normalized so that
+    fsigma_r scales exactly with df. AP mode 'qap' (isotropic dilation is
+    degenerate with qbao here)."""
+
+    @staticmethod
+    def _params(init):
+        return {
+            'df': dict(value=1., prior=dict(limits=[0., 2.]), ref=dict(limits=[0.95, 1.05]), delta=0.02, latex='df'),
+            'dm': dict(value=0., prior=dict(limits=[-3., 3.]), ref=dict(limits=[-0.01, 0.01]), delta=0.01, latex='dm'),
+            'qbao': dict(value=1., prior=dict(limits=[0.8, 1.2]), ref=dict(limits=[0.99, 1.01]), delta=0.008, latex=r'q_{\rm BAO}'),
+        }
+
+    def initialize(self, r=8., kernel='gauss', **kwargs):
+        self.r = float(r)
+        self.kernel = str(kernel)
+        kwargs.setdefault('apmode', 'qap')
+        kwargs.setdefault('with_now', 'peakaverage')
+        super().initialize(**kwargs)
+        from ..ops.chebyshev import ChebyshevLogInterp
+        self._wiggle_cheb = ChebyshevLogInterp(self.k, log_values=False)
+        self._wiggle_coeffs = self._wiggle_cheb.coeffs(
+            jnp.asarray(self.pk_dd_fid - self.pknow_dd_fid))
+        self.fsigmar_fid = self.f_fid * float(np.sqrt(np.asarray(
+            _sigma_r2_grid(self.k, jnp.asarray(self.pk_dd_fid), self.r, self.kernel))))
+
+    def calculate(self, df=1., dm=0., **params):
+        super().calculate(**params)
+        kp = 0.05
+        factor = (jnp.asarray(self.k) / kp) ** dm
+        qbao = params.get('qbao', 1.)
+        wig = self._wiggle_cheb.evaluate(self._wiggle_coeffs, jnp.asarray(self.k) / qbao)
+        pk_unnorm = (jnp.asarray(self.pknow_dd_fid) + wig) * factor
+        pknow_unnorm = jnp.asarray(self.pknow_dd_fid) * factor
+        self.f = self.f_fid * df
+        self.f0 = self.f0_fid * df
+        self.fk = self.fk_fid * df
+        # normalize: fsigma_r = df * fsigmar_fid exactly
+        norm = (df * self.fsigmar_fid / self.f) ** 2 / _sigma_r2_grid(self.k, pk_unnorm, self.r, self.kernel)
+        self.pk_dd = pk_unnorm * norm
+        self.pknow_dd = pknow_unnorm * norm
+        if self.only_now:
+            self.pk_dd = self.pknow_dd
+        self.m = dm
+
+
+class BandVelocityPowerSpectrumTemplate(BasePowerSpectrumTemplate):
+    r"""Band-power template (reference power_template.py:870): the velocity
+    power spectrum is scaled by free band amplitudes dptt{i} at pivots kp,
+    linearly interpolated between bands (flat beyond the end bands), with
+    qap anisotropic scaling and growth rescaling df."""
+
+    @staticmethod
+    def _params(init):
+        kp = init.get('kp', None)
+        n = len(kp) if kp is not None else 0
+        params = {
+            'df': dict(value=1., prior=dict(limits=[0., 2.]), ref=dict(limits=[0.95, 1.05]), delta=0.02, latex='df'),
+        }
+        for i in range(n):
+            params['dptt{:d}'.format(i)] = dict(
+                value=1., prior=dict(limits=[0., 3.]), ref=dict(limits=[0.99, 1.01]),
+                delta=0.01, latex=r'\Delta P_{{\theta\theta,{:d}}}'.format(i))
+        return params
+
+    def initialize(self, kp=None, **kwargs):
+        if kp is None:
+            raise ValueError('provide band pivots kp')
+        self.kp = np.asarray(kp, dtype='f8')
+        kwargs.setdefault('apmode', 'qap')
+        super().initialize(**kwargs)
+        # partition-of-unity hat basis over log k, flat at the ends
+        lkp = np.log(self.kp)
+        lk = np.log(self.k)
+        basis = np.zeros((len(self.kp), len(self.k)))
+        for i in range(len(self.kp)):
+            lo = lkp[i - 1] if i > 0 else -np.inf
+            hi = lkp[i + 1] if i < len(self.kp) - 1 else np.inf
+            up = np.clip((lk - lo) / (lkp[i] - lo), 0., 1.) if np.isfinite(lo) else np.ones_like(lk)
+            down = np.clip((hi - lk) / (hi - lkp[i]), 0., 1.) if np.isfinite(hi) else np.ones_like(lk)
+            basis[i] = np.minimum(up, down)
+        self._band_basis = basis
+
+    def calculate(self, df=1., **params):
+        super().calculate()
+        n = len(self.kp)
+        amps = jnp.stack([jnp.asarray(params.get('dptt{:d}'.format(i), 1.)) for i in range(n)])
+        scale = jnp.einsum('i,ik->k', amps, jnp.asarray(self._band_basis)) \
+            + (1. - jnp.einsum('i,ik->k', jnp.ones(n), jnp.asarray(self._band_basis)))
+        self.pk_dd = self.pk_dd_fid * scale
+        if self.with_now:
+            self.pknow_dd = self.pknow_dd_fid * scale
+        self.f = self.f_fid * df
+        self.f0 = self.f0_fid * df
+        self.fk = self.fk_fid * df
+        self.pk_tt = self.f ** 2 * self.pk_dd
+
+
+class TurnOverPowerSpectrumTemplate(BasePowerSpectrumTemplate):
+    r"""Turn-over template (reference power_template.py:1298; arXiv:2302.07484):
+    the spectrum is dilated so the turn-over scale moves with qto and its
+    amplitude scales with pto; derived DV_times_kTO."""
+
+    @staticmethod
+    def _params(init):
+        return {
+            'qto': dict(value=1., prior=dict(limits=[0.5, 1.5]), ref=dict(limits=[0.99, 1.01]), delta=0.01, latex=r'q_{\rm TO}'),
+            'pto': dict(value=1., prior=dict(limits=[0.1, 10.]), ref=dict(limits=[0.99, 1.01]), delta=0.01, latex=r'p_{\rm TO}'),
+            'df': dict(value=1., prior=dict(limits=[0., 2.]), ref=dict(limits=[0.95, 1.05]), latex='df'),
+            'DV_times_kTO': dict(derived=True, latex=r'D_V k_{\rm TO}'),
+        }
+
+    def initialize(self, **kwargs):
+        kwargs.setdefault('apmode', 'qap')
+        kwargs.setdefault('with_now', False)
+        super().initialize(**kwargs)
+        # fiducial turn-over: parabolic interpolation of the log-log maximum
+        pk = np.asarray(self.pk_dd_fid)
+        imax = int(np.argmax(pk))
+        lk = np.log10(self.k[imax - 1:imax + 2])
+        lp = np.log10(pk[imax - 1:imax + 2])
+        denom = (lk[0] - lk[1]) * (lk[0] - lk[2])
+        c0 = lp[0] / denom
+        c1 = lp[1] / ((lk[1] - lk[0]) * (lk[1] - lk[2]))
+        c2 = lp[2] / ((lk[2] - lk[0]) * (lk[2] - lk[1]))
+        a = c0 + c1 + c2
+        lk0 = (c0 * (lk[1] + lk[2]) + c1 * (lk[0] + lk[2]) + c2 * (lk[0] + lk[1])) / (2. * a)
+        self.kto_fid = 10. ** lk0
+        p = self.fiducial
+        DH = float(bg.hubble_distance(p, self.z))
+        DM = float(bg.comoving_angular_distance(p, self.z))
+        self.DV_fid = (DH * DM ** 2 * self.z) ** (1. / 3.) if self.z > 0 else DH
+
+    def calculate(self, qto=1., pto=1., df=1., **params):
+        super().calculate()
+        self.pk_dd = pto * self.pk_dd_interp_fid(jnp.asarray(self.k) / qto)
+        self.f = self.f_fid * df
+        self.f0 = self.f0_fid * df
+        self.fk = self.fk_fid * df
+        self.kto = self.kto_fid * qto
+        self.DV_times_kTO = self.DV_fid * self.kto
+
+    def pk_dd_interp_fid(self, k):
+        cached = self._cheb_cache.get('pk_dd_fid')
+        if cached is None:
+            cached = (self.pk_dd_fid, self._cheb.coeffs(jnp.asarray(self.pk_dd_fid)))
+            self._cheb_cache['pk_dd_fid'] = cached
+        return self._cheb.evaluate(cached[1], k)
