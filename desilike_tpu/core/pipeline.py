@@ -163,6 +163,41 @@ class Pipeline(BaseClass):
             result, self.derived = self.run_once(full)
         return result
 
+    def profile_speed(self, niterations=10, seed=42):
+        """Per-calculator wall time + fused-jit throughput (the reference's
+        Monitor/_set_speed analog, base.py:695-735). Under whole-graph jit the
+        per-calculator split is informational: parameter blocking is obsolete
+        (SURVEY.md §2.11); this helps users find slow initialize-time nodes
+        and compare eager vs compiled evaluation."""
+        import time
+        import jax
+        key = jax.random.key(seed)
+        timings = {c.runtime_info.name: 0. for c in self.calculators}
+        values = self.input_defaults()
+        full = {k: jnp.asarray(v) for k, v in values.items()}
+        from ..config import host_eval
+        with host_eval():
+            for _ in range(max(1, niterations)):
+                for calc in self.calculators:
+                    cvals = {p.basename: full[p.name] for p in calc.runtime_info.params
+                             if p.derived is not True and not p.drop}
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(jax.tree.leaves(calc.calculate(**cvals))) if False else calc.calculate(**cvals)
+                    timings[calc.runtime_info.name] += time.perf_counter() - t0
+        eager = {name: t / max(1, niterations) for name, t in timings.items()}
+        fn = self.get_fn()
+        varied = {p.name: jnp.asarray(p.value) for p in self.varied_params}
+        out = fn(varied)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        nrep = max(3, niterations)
+        for _ in range(nrep):
+            out = fn(varied)
+        jax.block_until_ready(out)
+        compiled = (time.perf_counter() - t0) / nrep
+        return {'eager_per_calculator': eager, 'compiled_per_eval': compiled,
+                'compiled_evals_per_sec': 1. / compiled if compiled > 0 else float('inf')}
+
     def logprior(self, values):
         """Sum of log priors of varied params at given (resolved) values."""
         logp = jnp.zeros(())

@@ -154,6 +154,56 @@ class BaseProfiler(BaseClass):
                                 options={'maxiter': 500, 'ftol': 1e-12, 'gtol': 1e-8})
         return res.x, res.fun
 
+    def contour(self, name1, name2, size=15, sigmas=2.5, cl=(1., 2.)):
+        """2D profiled-chi2 contour grid (reference profilers/base.py:656):
+        chi2 minimized over the other parameters on a (size x size) grid;
+        stores {cl: (x, y)} paths extracted at Delta chi2 = cl^2 + the raw grid."""
+        if not self.profiles.start_size:
+            self.maximize()
+        best = self.profiles.choice()
+        chi2_min = -2. * best['logposterior']
+        grids = []
+        for name in (name1, name2):
+            i = self.names.index(name)
+            sig = self.profiles.error.get(name) or self._scales[i]
+            grids.append(np.linspace(best[name] - sigmas * sig, best[name] + sigmas * sig, size))
+        chi2_grid = np.zeros((size, size))
+        others = [n for n in self.names if n not in (name1, name2)]
+        idx = [self.names.index(n) for n in others]
+        i1, i2 = self.names.index(name1), self.names.index(name2)
+        for a, v1 in enumerate(grids[0]):
+            for b, v2 in enumerate(grids[1]):
+                if others:
+                    def chi2_sub(theta_sub, v1=v1, v2=v2):
+                        theta = jnp.zeros(self.ndim)
+                        theta = theta.at[jnp.asarray(idx)].set(theta_sub)
+                        theta = theta.at[i1].set(v1)
+                        theta = theta.at[i2].set(v2)
+                        return self.chi2(theta)
+                    x0 = np.array([best[n] for n in others])
+                    _, val = self._minimize_fn(chi2_sub, x0, [self._bounds()[i] for i in idx])
+                else:
+                    theta = np.array([best[n] for n in self.names])
+                    theta[i1], theta[i2] = v1, v2
+                    val = float(self.chi2(jnp.asarray(theta)))
+                chi2_grid[a, b] = val
+        paths = {}
+        try:
+            import matplotlib
+            from matplotlib import pyplot as plt
+            fig, ax = plt.subplots()
+            cs = ax.contour(grids[0], grids[1], (chi2_grid - chi2_min).T,
+                            levels=[c ** 2 for c in cl])
+            for level, c in zip(cs.levels, cl):
+                segs = cs.allsegs[list(cs.levels).index(level)]
+                if segs:
+                    paths[c] = (segs[0][:, 0], segs[0][:, 1])
+            plt.close(fig)
+        except Exception:
+            pass
+        self.profiles.contour[(name1, name2)] = {'grid': (grids[0], grids[1], chi2_grid), 'paths': paths}
+        return self.profiles
+
     def grid(self, name, values):
         """1D profile: chi2 minimized over other params along a grid."""
         if not self.profiles.start_size:

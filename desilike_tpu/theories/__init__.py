@@ -19,3 +19,4 @@ from .png import PNGTracerPowerSpectrumMultipoles
 from .bispectrum import TreeLevelBispectrumMultipoles
 from .power_template import (WiggleSplitPowerSpectrumTemplate, BandVelocityPowerSpectrumTemplate,
                              TurnOverPowerSpectrumTemplate)
+from .lya import P1DPowerSpectrumExtractor

@@ -75,3 +75,35 @@ def test_profiler_interval():
     lo, hi = prof.profiles.interval['a']
     cov = analytic_cov()
     assert hi - lo == pytest.approx(2 * np.sqrt(cov[0, 0]), rel=0.1)
+
+
+def test_profiler_contour():
+    like = GaussianModel()
+    prof = ScipyProfiler(like)
+    prof.maximize(niterations=1)
+    prof.contour('a', 'b', size=7, cl=(1.,))
+    cont = prof.profiles.contour[('a', 'b')]
+    g = cont['grid'][2]
+    assert g.min() == pytest.approx(-2 * prof.profiles.choice()['logposterior'], abs=0.5)
+
+
+def test_pipeline_profile_speed():
+    like = GaussianModel()
+    out = like.pipeline.profile_speed(niterations=3)
+    assert 'compiled_evals_per_sec' in out and out['compiled_evals_per_sec'] > 0
+    assert 'GaussianModel' in out['eager_per_calculator']
+
+
+def test_lya_extractor():
+    from desilike_tpu.theories import P1DPowerSpectrumExtractor
+    from desilike_tpu.theories.power_template import _direct_param
+    from desilike_tpu.theories import Cosmology
+    cosmo = Cosmology()
+    cosmo.init.params.set(_direct_param('n_s'))
+    ext = P1DPowerSpectrumExtractor(z=3., cosmo=cosmo)
+    ext.pipeline.evaluate({'n_s': 0.9649})
+    d2, ns = float(ext.delta2_star), float(ext.n_star)
+    assert 0.1 < d2 < 1.0       # Planck-like: Delta2* ~ 0.35
+    assert -2.6 < ns < -2.1     # n* ~ -2.3
+    ext.pipeline.evaluate({'n_s': 1.0})
+    assert float(ext.n_star) > ns  # bluer primordial tilt -> larger n*
