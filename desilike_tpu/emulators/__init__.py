@@ -136,18 +136,45 @@ class Emulator(BaseClass):
     # --- IO ---
 
     def save(self, filename):
-        state = dict(engine=self.engine.__getstate__(),
-                     engine_name=self.engine.name,
-                     names=self.names,
-                     center=self.center,
-                     varied_names=self.varied_names,
-                     shapes={k: list(v) for k, v in self.shapes.items()},
-                     fixed={k: v for k, v in self.fixed_state.items()})
-        np.savez(str(filename), **{'__state__': np.array(repr({k: None for k in state}))},
-                 **{'meta_' + k: np.asarray(v) if not isinstance(v, dict) else np.array(repr(v))
-                    for k, v in state.items() if k not in ('engine', 'fixed')},
-                 **{'fixed_' + k: v for k, v in state['fixed'].items()},
-                 **{'engine_' + k: v for k, v in state['engine'].items()})
+        """Persist the emulator (engine coefficients + state layout + params).
+        Reload with ``Emulator.load(filename, calculator=...)`` passing an
+        instance of the same (configured) calculator for the static surface."""
+        import json
+        meta = dict(engine_name=self.engine.name,
+                    names=self.names,
+                    varied_names=self.varied_names,
+                    shapes={k: list(v) for k, v in self.shapes.items()},
+                    params=self.varied_params.__getstate__())
+        arrays = {'meta': np.array(json.dumps(meta, default=float))}
+        for k, v in self.fixed_state.items():
+            arrays['fixed:' + k] = np.asarray(v)
+        for k, v in self.engine.__getstate__().items():
+            arrays['engine:' + k] = np.asarray(v)
+        np.savez(str(filename), **arrays)
+
+    @classmethod
+    def load(cls, filename, calculator):
+        """Rebuild an emulator saved with :meth:`save`; ``calculator`` must be
+        a (same-config) instance providing the static attribute surface."""
+        import json
+        from ..parameters import Parameter
+        loaded = np.load(str(filename), allow_pickle=False)
+        meta = json.loads(str(loaded['meta']))
+        new = cls.__new__(cls)
+        new.calculator = calculator
+        calculator.runtime_info.initialize()
+        new.pipeline = calculator.pipeline
+        new.names = list(meta['names'])
+        new.varied_names = list(meta['varied_names'])
+        new.shapes = {k: tuple(v) for k, v in meta['shapes'].items()}
+        new.varied_params = ParameterCollection([Parameter(**s) for s in meta['params']['params']])
+        new.center = np.array([p.value for p in new.varied_params])
+        new.fixed_state = {k[6:]: loaded[k] for k in loaded.files if k.startswith('fixed:')}
+        engine_state = {k[7:]: loaded[k] for k in loaded.files if k.startswith('engine:')}
+        engines = {'taylor': TaylorEmulatorEngine, 'point': PointEmulatorEngine, 'mlp': MLPEmulatorEngine}
+        new.engine = engines[meta['engine_name']]()
+        new.engine.__setstate__(engine_state, emulator=new)
+        return new
 
 
 class EmulatedCalculator(Calculator):
@@ -231,7 +258,15 @@ class TaylorEmulatorEngine(BaseEmulatorEngine):
         return out
 
     def __getstate__(self):
-        return {'coeffs': np.asarray(self.coeffs), 'center': np.asarray(self.center)}
+        return {'coeffs': np.asarray(self.coeffs), 'center': np.asarray(self.center),
+                'derivs': np.array([repr(sorted(d.items())) for d in self.derivs])}
+
+    def __setstate__(self, state, emulator=None):
+        import ast
+        self.coeffs = jnp.asarray(state['coeffs'])
+        self.center = jnp.asarray(state['center'])
+        self.derivs = [dict(ast.literal_eval(str(s))) for s in state['derivs']]
+        self.names = list(emulator.names)
 
 
 class MLPEmulatorEngine(BaseEmulatorEngine):

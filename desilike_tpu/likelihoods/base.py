@@ -371,6 +371,17 @@ class BaseGaussianLikelihood(BaseLikelihood):
     def size(self):
         return len(self.flatdata)
 
+    @property
+    def nvaried(self):
+        pipe = self.pipeline
+        return len(pipe.varied_params) + len(pipe.solved_params)
+
+    @property
+    def ndof(self):
+        """Degrees of freedom: data size minus varied+solved parameters
+        (reference likelihoods/base.py nvaried/ndof)."""
+        return self.size - self.nvaried
+
 
 class ObservablesGaussianLikelihood(BaseGaussianLikelihood):
     """Gaussian likelihood over a list of observables

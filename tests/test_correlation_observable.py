@@ -47,3 +47,35 @@ def test_xi_sigma_sanity():
     data = obs.data[0]
     snr = np.abs(data) / sig
     assert snr.max() > 3.  # BAO-scale xi measured at high significance
+
+
+def test_explicit_window_matrix_path():
+    """User-provided window matrix (kin, W) path of WindowedPowerSpectrumMultipoles."""
+    from desilike_tpu.observables import TracerPowerSpectrumMultipolesObservable
+    from desilike_tpu.theories import DampedBAOWigglesTracerPowerSpectrumMultipoles
+    kobs = np.linspace(0.025, 0.195, 18)
+    kin = np.linspace(0.005, 0.35, 70)
+    # smearing window: each output bin averages neighboring theory bins
+    W1 = np.zeros((18, 70))
+    for i, kv in enumerate(kobs):
+        w = np.exp(-0.5 * ((kin - kv) / 0.01) ** 2)
+        W1[i] = w / w.sum()
+    W = np.zeros((36, 140))
+    W[:18, :70] = W1
+    W[18:, 70:] = W1
+    theory = DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0, 2))
+    obs = TracerPowerSpectrumMultipolesObservable(
+        data={'b1': 2.0}, k=kobs, ells=(0, 2), wmatrix=(kin, W), theory=theory)
+    obs.runtime_info.initialize()
+    assert obs.flatdata.shape == (36,)
+    from desilike_tpu.core import Pipeline
+    Pipeline(obs).evaluate({'b1': 2.0, 'qpar': 1.01})
+    assert np.all(np.isfinite(np.asarray(obs.flattheory)))
+    # windowed theory equals the explicit matrix application
+    direct = np.asarray(obs.wmatrix.theory.power)
+    smoothed = np.asarray(obs.flattheory)[:18]
+    expected = W1 @ direct[0]
+    np.testing.assert_allclose(smoothed, expected, rtol=1e-4)
+    # and is a mild smoothing of the pointwise theory
+    interp = np.interp(kobs, kin, direct[0])
+    assert np.max(np.abs(smoothed - interp) / np.abs(interp)) < 0.15

@@ -42,3 +42,23 @@ def test_mlp_emulator():
     emu = Emulator(tpl, engine=eng).fit()
     err = emu.check(ntests=5)
     assert err < 0.05, err
+
+
+def test_taylor_emulator_save_load(tmp_path):
+    from desilike_tpu.emulators import Emulator, TaylorEmulatorEngine
+    tpl = BAOPowerSpectrumTemplate(z=0.8, apmode='qiso')
+    emu = Emulator(tpl, engine=TaylorEmulatorEngine(order=2)).fit()
+    fn = tmp_path / 'emu.npz'
+    emu.save(fn)
+    tpl2 = BAOPowerSpectrumTemplate(z=0.8, apmode='qiso')
+    emu2 = Emulator.load(str(fn), calculator=tpl2)
+    theta = np.array([1.01])
+    p1 = emu.predict(theta)
+    p2 = emu2.predict(theta)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p2[k]), rtol=1e-6)
+    node = emu2.to_calculator()
+    theory = DampedBAOWigglesTracerPowerSpectrumMultipoles(
+        ells=(0,), k=np.linspace(0.02, 0.3, 29), template=node)
+    power = np.asarray(theory.pipeline.evaluate({'qiso': 1.01, 'b1': 2.0}))
+    assert np.all(np.isfinite(power))
