@@ -104,3 +104,24 @@ def test_blockinv():
     blocks = [[M[:3, :3], M[:3, 3:]], [M[3:, :3], M[3:, 3:]]]
     inv = blockinv(blocks)
     np.testing.assert_allclose(inv, np.linalg.inv(M), rtol=1e-8, atol=1e-10)
+
+
+def test_pallas_clenshaw_interpret():
+    """Pallas Clenshaw kernel (interpret mode on CPU) matches plain jnp."""
+    from desilike_tpu.ops.pallas_kernels import clenshaw_pallas, HAS_PALLAS
+    if not HAS_PALLAS:
+        pytest.skip('pallas unavailable')
+    rng = np.random.default_rng(0)
+    B, Q, order = 16, 37, 50
+    x = jnp.asarray(rng.uniform(-1, 1, (B, Q)).astype('f4'))
+    coeffs = jnp.asarray((rng.normal(size=(B, order)) * 0.1 / (1 + np.arange(order)) ** 1.5).astype('f4'))
+    got = np.asarray(clenshaw_pallas(x, coeffs, log_values=False, interpret=True))
+    # reference evaluation
+    two_x = 2 * np.asarray(x)
+    b1 = np.zeros_like(x)
+    b2 = np.zeros_like(x)
+    c = np.asarray(coeffs)
+    for j in range(order - 1, 0, -1):
+        b1, b2 = two_x * b1 - b2 + c[:, j][:, None], b1
+    expected = c[:, 0][:, None] + np.asarray(x) * b1 - b2
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
