@@ -20,3 +20,4 @@ from .bispectrum import TreeLevelBispectrumMultipoles
 from .power_template import (WiggleSplitPowerSpectrumTemplate, BandVelocityPowerSpectrumTemplate,
                              TurnOverPowerSpectrumTemplate)
 from .lya import P1DPowerSpectrumExtractor
+from .full_shape import SimpleTracerPowerSpectrumMultipoles

@@ -66,3 +66,14 @@ def test_kaiser_correlation_function():
     assert np.all(np.isfinite(corr))
     # monopole positive at BAO scales for b1=2
     assert np.all(corr[0][theory.s < 100] > 0)
+
+
+def test_simple_tracer():
+    from desilike_tpu.theories import SimpleTracerPowerSpectrumMultipoles, StandardPowerSpectrumTemplate
+    theory = SimpleTracerPowerSpectrumMultipoles(
+        ells=(0, 2), k=np.linspace(0.02, 0.2, 19),
+        template=StandardPowerSpectrumTemplate(z=1.), mu=6)
+    p = np.asarray(theory.pipeline.evaluate({'b1': 2.0, 'df': 1.0}))
+    assert p.shape == (2, 19) and np.all(np.isfinite(p))
+    p2 = np.asarray(theory.pipeline.evaluate({'b1': 2.0, 'df': 1.1}))
+    assert np.all(p2[1] > p[1])  # more growth -> larger quadrupole
