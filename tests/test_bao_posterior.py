@@ -34,3 +34,23 @@ def test_bao_posterior_recovery():
     assert np.all(chain.gelman_rubin(['qiso', 'b1']) < 1.15)
     # marginalized broadband params present as solved draws in aux columns
     assert 'al0_0' in chain
+
+
+def test_posterior_sampler_cross_validation():
+    """Accuracy-gate proxy (BASELINE sub-0.01-sigma vs reference requires
+    cosmoprimo, absent here): two independent samplers + the Fisher forecast
+    must agree on the same BAO posterior."""
+    from desilike_tpu.samplers import NUTSSampler
+    from desilike_tpu.fisher import Fisher
+    like = make_likelihood(qiso_truth=1.0)
+    ens = EnsembleSampler(like, seed=31, nwalkers=64).run(nsteps=1500).remove_burnin(0.5)
+    nuts = NUTSSampler(like, seed=32, nchains=4, max_depth=6).run(nsteps=400, nwarmup=300).remove_burnin(0.2)
+    fisher = Fisher(like)()
+    for name in ('qiso', 'b1'):
+        m1, s1 = ens.mean(name), ens.std(name)
+        m2, s2 = nuts.mean(name), nuts.std(name)
+        assert abs(m1 - m2) < 0.25 * max(s1, s2), (name, m1, m2, s1, s2)
+        assert s1 / s2 == pytest.approx(1.0, abs=0.3), (name, s1, s2)
+    # Fisher width consistent with the sampled width for the Gaussian-ish
+    # qiso direction (b1 is prior-truncated and non-Gaussian here)
+    assert ens.std('qiso') / fisher.std('qiso') == pytest.approx(1.0, abs=0.45)
