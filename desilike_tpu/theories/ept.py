@@ -51,7 +51,8 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         return params
 
     def initialize(self, k=None, ells=(0, 2, 4), template=None, mu=8, method='leggauss',
-                   shotnoise=1e4, nr=128, nx=64, nk_loop=96, nk_template=None, **kwargs):
+                   shotnoise=1e4, nr=128, nx=64, nk_loop=96, nk_template=None,
+                   loop_method='fftlog', **kwargs):
         super().initialize(k=k, ells=ells)
         if template is None:
             template = DirectPowerSpectrumTemplate()
@@ -65,7 +66,13 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         # loop working grid: covers AP-shifted output range
         klo, khi = self.k[0] * 0.6, self.k[-1] * 1.7
         self.k_work = np.geomspace(klo, khi, int(nk_loop))
-        self.loop = OneLoopIntegrals(self.k_work, nr=int(nr), nx=int(nx))
+        if str(loop_method) == 'fftlog':
+            # FFTLog-matrix loops (ops/spt_fftlog.py): per-eval cost is one
+            # FFT + complex quadratic forms; validated vs quadrature to <1e-3
+            from ..ops.spt_fftlog import FFTLogOneLoop
+            self.loop = FFTLogOneLoop(self.k_work)
+        else:
+            self.loop = OneLoopIntegrals(self.k_work, nr=int(nr), nx=int(nx))
         self._work_cheb = ChebyshevLogInterp(self.k_work, log_values=False)
         self._tmpl_lims = (self.template.init['k'][0], self.template.init['k'][-1])
         self._set_eft_matrices()
