@@ -120,6 +120,35 @@ class Chain(Samples):
             new[n] = (means[:, i] + draws[:, i]).reshape(self.shape)
         return new
 
+    def to_fisher(self, params=None):
+        """Gaussian approximation of the chain posterior as a LikelihoodFisher
+        (reference chain.py:902)."""
+        from ..fisher import LikelihoodFisher
+        pts, names = self.points(params)
+        w = self.weight.reshape(-1)
+        mean = np.average(pts, axis=0, weights=w)
+        cov = np.cov(pts, rowvar=False, aweights=w)
+        hessian = -np.linalg.inv(np.atleast_2d(cov))
+        plist = [self.params[n] if n in self.params else n for n in names]
+        return LikelihoodFisher(mean, plist, hessian)
+
+    @classmethod
+    def from_getdist(cls, base_fn):
+        """Read getdist-format chains (base.txt + base.paramnames)."""
+        arr = np.loadtxt(str(base_fn) + '.txt')
+        names = []
+        with open(str(base_fn) + '.paramnames') as f:
+            for line in f:
+                parts = line.split(None, 1)
+                if parts:
+                    names.append(parts[0].strip('*'))
+        chain = cls()
+        chain['aweight'] = arr[:, 0]
+        chain['logposterior'] = -arr[:, 1]
+        for i, name in enumerate(names[:arr.shape[1] - 2]):
+            chain[name] = arr[:, 2 + i]
+        return chain
+
     # --- export ---
 
     def to_getdist(self, params=None, label=None):

@@ -21,3 +21,4 @@ from .power_template import (WiggleSplitPowerSpectrumTemplate, BandVelocityPower
                              TurnOverPowerSpectrumTemplate)
 from .lya import P1DPowerSpectrumExtractor
 from .full_shape import SimpleTracerPowerSpectrumMultipoles
+from .power_template import BAOPhaseShiftPowerSpectrumTemplate

@@ -166,6 +166,39 @@ class BAOPowerSpectrumTemplate(BasePowerSpectrumTemplate):
         self.DH_over_DM = self.qpar / self.qper * self.DH_over_DM_fid
 
 
+class BAOPhaseShiftPowerSpectrumTemplate(BAOPowerSpectrumTemplate):
+    r"""BAO template with the N_eff-induced phase shift of the wiggles
+    (reference power_template.py:442; Baumann et al. 2018, arXiv:1803.10741):
+    wiggles are evaluated at k + (baoshift - 1) * f_shift(k) with
+    f_shift = phi_inf / (1 + (k*/k)^eps) / rd."""
+
+    @staticmethod
+    def _params(init):
+        params = dict(BAOPowerSpectrumTemplate._params(init))
+        params['baoshift'] = dict(value=1., prior=dict(limits=[-2., 4.]),
+                                  ref=dict(dist='norm', loc=1., scale=0.1), latex=r'eta_\phi')
+        return params
+
+    def initialize(self, phiinf=0.227, kstar=0.0324, epsilon=0.872, **kwargs):
+        self.phiinf = float(phiinf)
+        self.kstar = float(kstar)
+        self.epsilon = float(epsilon)
+        super().initialize(**kwargs)
+        from ..ops.chebyshev import ChebyshevLogInterp
+        self._wigphase_cheb = ChebyshevLogInterp(self.k, log_values=False)
+        self._wigphase_coeffs = self._wigphase_cheb.coeffs(
+            jnp.asarray(self.pk_dd_fid - self.pknow_dd_fid))
+
+    def calculate(self, df=1., baoshift=1., **params):
+        super().calculate(df=df, **params)
+        kshift = self.phiinf / (1. + (self.kstar / jnp.asarray(self.k)) ** self.epsilon) / self.rs_drag_fid
+        kq = jnp.clip(jnp.asarray(self.k) + (baoshift - 1.) * kshift, self.k[0], self.k[-1])
+        wiggles = self._wigphase_cheb.evaluate(self._wigphase_coeffs, kq)
+        self.pk_dd = jnp.asarray(self.pknow_dd_fid) + wiggles
+        if self.only_now:
+            self.pk_dd = self.pknow_dd
+
+
 class StandardPowerSpectrumTemplate(BasePowerSpectrumTemplate):
     """Standard RSD template: qpar/qper + df (reference :553)."""
 

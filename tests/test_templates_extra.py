@@ -42,3 +42,39 @@ def test_turnover():
     kto_meas = tpl.k[imax]
     assert kto_meas == pytest.approx(tpl.kto_fid * 1.1, rel=0.08)
     assert float(tpl.DV_times_kTO) == pytest.approx(tpl.DV_fid * tpl.kto_fid * 1.1, rel=1e-5)
+
+
+def test_bao_phaseshift():
+    from desilike_tpu.theories import BAOPhaseShiftPowerSpectrumTemplate
+    tpl = BAOPhaseShiftPowerSpectrumTemplate(z=0.8, k=np.geomspace(1e-3, 0.6, 400), apmode='qiso')
+    tpl.pipeline.evaluate({'baoshift': 1.0})
+    pk0 = np.asarray(tpl.pk_dd)
+    np.testing.assert_allclose(pk0, np.asarray(tpl.pk_dd_fid), rtol=1e-3)
+    tpl.pipeline.evaluate({'baoshift': 2.0})
+    pk1 = np.asarray(tpl.pk_dd)
+    k = tpl.k
+    m = (k > 0.05) & (k < 0.3)
+    # wiggles shift but no-wiggle part unchanged
+    assert not np.allclose(pk1[m], pk0[m], rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(tpl.pknow_dd), np.asarray(tpl.pknow_dd_fid), rtol=1e-6)
+
+
+def test_chain_to_fisher_roundtrip():
+    from desilike_tpu.samples.chain import Chain
+    rng = np.random.default_rng(0)
+    mean = np.array([1., -2.])
+    cov = np.array([[0.04, 0.01], [0.01, 0.09]])
+    pts = rng.multivariate_normal(mean, cov, size=20000)
+    chain = Chain({'x': pts[:, 0], 'y': pts[:, 1]})
+    lf = chain.to_fisher(['x', 'y'])
+    np.testing.assert_allclose(lf.center, mean, atol=0.02)
+    np.testing.assert_allclose(lf.covariance(), cov, rtol=0.05, atol=1e-3)
+
+
+def test_chain_getdist_roundtrip(tmp_path):
+    from desilike_tpu.samples.chain import Chain
+    rng = np.random.default_rng(1)
+    chain = Chain({'x': rng.normal(size=100), 'logposterior': -rng.random(100)})
+    chain.write_getdist(str(tmp_path / 'c'))
+    loaded = Chain.from_getdist(str(tmp_path / 'c'))
+    np.testing.assert_allclose(np.asarray(loaded['x']), np.asarray(chain['x']), rtol=1e-5)
