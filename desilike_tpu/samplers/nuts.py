@@ -212,11 +212,14 @@ class NUTSSampler(BasePosteriorSampler):
     finite at the prior edges); the log-Jacobian is added to the density.
     """
 
-    def __init__(self, likelihood, nchains=8, max_depth=8, target_accept=0.8, **kwargs):
+    def __init__(self, likelihood, nchains=8, max_depth=8, target_accept=0.8,
+                 pool_adaptation=None, **kwargs):
         super().__init__(likelihood, **kwargs)
         self.nchains = int(nchains)
         self.max_depth = int(max_depth)
         self.target_accept = float(target_accept)
+        # pool warmup adaptation across chains by default in the many-chain regime
+        self.pool_adaptation = (self.nchains >= 32) if pool_adaptation is None else bool(pool_adaptation)
         self._set_transform()
 
     # --- bounded-parameter transform ---
@@ -333,6 +336,14 @@ class NUTSSampler(BasePosteriorSampler):
         warm = jax.jit(jax.vmap(warmup_chain))
         u, lp, grad, eps, inv_mass = warm(u0, kw)
         jax.block_until_ready(eps)
+        if self.pool_adaptation:
+            # cross-chain pooling: with many chains the per-chain dual
+            # averaging occasionally leaves outliers with a degenerate step
+            # size (frozen chains -> inflated Gelman-Rubin); the median step
+            # size and mean mass matrix are far more robust and also reduce
+            # tree-depth divergence across the vmapped lockstep batch.
+            eps = jnp.full_like(eps, jnp.median(eps))
+            inv_mass = jnp.broadcast_to(jnp.mean(inv_mass, axis=0), inv_mass.shape)
         self.diagnostics['step_size'] = np.asarray(eps)
 
         sample = jax.jit(jax.vmap(sample_chain))
