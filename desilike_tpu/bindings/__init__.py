@@ -16,3 +16,4 @@ parameters to the host; injecting an external provider is supported via
 from .base import BaseLikelihoodGenerator
 from .cobaya import CobayaLikelihoodGenerator
 from .cosmosis import CosmoSISLikelihoodGenerator
+from .montepython import MontePythonLikelihoodGenerator

@@ -10,3 +10,4 @@ from .fiber_collisions import (TopHatFiberCollisionsPowerSpectrumMultipoles,
                                FiberCollisionsPowerSpectrumMultipoles,
                                SystematicTemplatePowerSpectrumMultipoles)
 from .bispectrum import TracerBispectrumMultipolesObservable
+from .types import ObservableArray, ObservableCovariance

@@ -73,3 +73,28 @@ def test_chain_save_load_getdist(tmp_path):
     assert os.path.exists(tmp_path / 'gd.txt') and os.path.exists(tmp_path / 'gd.paramnames')
     arr = np.loadtxt(tmp_path / 'gd.txt')
     assert arr.shape[1] == 2 + 2  # weight, -logpost, a, b... plus extras
+
+
+def test_observable_array_types():
+    from desilike_tpu.observables import ObservableArray, ObservableCovariance
+    k = np.linspace(0.02, 0.2, 10)
+    arr = ObservableArray(x=[k, k], value=[k * 10, k * 5], projs=[0, 2])
+    assert arr.size == 20
+    sub = arr.select(projs=0, xlim=(0.05, 0.15))
+    assert sub.projs == [0] and np.all(sub.x[0] >= 0.05)
+    reb = arr.rebin(2)
+    assert len(reb.x[0]) == 5
+    cov = ObservableCovariance(np.eye(20) * 4., [arr])
+    np.testing.assert_allclose(cov.std, 2.)
+    covsub = cov.select(xlim=(0.05, 0.15))
+    assert covsub.value.shape[0] == sum(len(x) for x in arr.select(xlim=(0.05, 0.15)).x)
+
+
+def test_montepython_generator():
+    import ast
+    from desilike_tpu.bindings import MontePythonLikelihoodGenerator
+    from test_bindings import bao_factory
+    gen = MontePythonLikelihoodGenerator(bao_factory)
+    code = gen.generate()
+    ast.parse(code)
+    assert 'def loglkl(' in code
