@@ -127,6 +127,25 @@ class BasePosteriorSampler(BaseClass):
             chain.save(self.save_fn)
         return chain
 
+    def sample(self, max_iterations=10000, check_every=500, min_iterations=1000,
+               max_gr=1.05, min_ess=200, thin=1, **run_kwargs):
+        """Batch loop with convergence checking (reference
+        BaseBatchPosteriorSampler.run, samplers/base.py:409): run
+        ``check_every`` steps at a time, concatenating chains, until
+        Gelman-Rubin/ESS converge or max_iterations is reached."""
+        chain = None
+        done = 0
+        while done < max_iterations:
+            n = min(check_every, max_iterations - done)
+            new = self.run(nsteps=n, thin=thin, resume=done > 0, **run_kwargs)
+            chain = new if chain is None else type(new).concatenate([chain, new], axis=0)
+            done += n
+            if done >= min_iterations and self.check(chain, max_gr=max_gr, min_ess=min_ess):
+                break
+        if self.save_fn:
+            chain.save(self.save_fn)
+        return chain
+
     def check(self, chain, params=None, max_gr=1.03, min_ess=100):
         """Convergence check: Gelman-Rubin + ESS (reference samplers/base.py:504)."""
         params = params or self.names

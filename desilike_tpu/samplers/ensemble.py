@@ -74,10 +74,16 @@ class EnsembleSampler(BasePosteriorSampler):
 
         return step
 
-    def run(self, nsteps=500, thin=1, burnin=0):
-        """Run the ensemble; returns a Chain with shape (nsteps_kept, nwalkers)."""
-        start, lp0 = self.get_start(self.nwalkers)
-        _, aux0 = self.logpost_batch(start)
+    def run(self, nsteps=500, thin=1, burnin=0, resume=False):
+        """Run the ensemble; returns a Chain with shape (nsteps_kept, nwalkers).
+
+        resume=True continues from the final state of the previous run
+        (reference batch-resume behavior, samplers/base.py:354-406)."""
+        if resume and getattr(self, '_state', None) is not None:
+            start, lp0, aux0, _ = self._state
+        else:
+            start, lp0 = self.get_start(self.nwalkers)
+            _, aux0 = self.logpost_batch(start)
         step = self._build_step()
         keys = jax.random.split(self._next_key(), nsteps)
 
@@ -88,6 +94,7 @@ class EnsembleSampler(BasePosteriorSampler):
         state0 = (start, lp0, aux0, jnp.zeros((), dtype=jnp.int32))
         (xf, lpf, auxf, naccept), records = scan_all(state0, keys)
         jax.block_until_ready(lpf)
+        self._state = (xf, lpf, auxf, naccept)
         self.diagnostics['acceptance_rate'] = float(naccept) / (nsteps * self.nwalkers)
         x = records.pop('x')
         sl = slice(burnin, None, thin)

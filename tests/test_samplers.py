@@ -112,3 +112,15 @@ def test_mclmc_runs():
     for i, name in enumerate(('a', 'b')):
         assert chain.mean(name) == pytest.approx(GaussianModel._mean[i], abs=5 * np.sqrt(cov[i, i]) / 10)
         assert chain.std(name) == pytest.approx(np.sqrt(cov[i, i]), rel=0.5)
+
+
+def test_batch_sample_with_convergence():
+    like = GaussianModel()
+    sampler = EnsembleSampler(like, seed=13, nwalkers=64)
+    chain = sampler.sample(max_iterations=3000, check_every=300, min_iterations=600,
+                           max_gr=1.05, min_ess=400)
+    assert sampler.diagnostics['converged']
+    assert chain.shape[0] >= 600
+    cov = analytic_cov()
+    burned = chain.remove_burnin(0.5)
+    assert burned.mean('a') == pytest.approx(1.0, abs=3 * np.sqrt(cov[0, 0]) / 5)
