@@ -309,9 +309,17 @@ class NUTSSampler(BasePosteriorSampler):
             k1, k2 = jax.random.split(key)
             nw1 = nwarmup // 2
             nw2 = nwarmup - nw1
-            # phase 1: adapt eps under identity mass, collect variance
-            u, lp, grad, eps1, var, cnt = da_scan(u, lp, grad, jnp.ones(ndim), 0.1, nw1, k1, nw1 // 3)
-            inv_mass = jnp.where(cnt > 10, jnp.maximum(var, 1e-10), jnp.ones(ndim))
+            # phase 0: Fisher-diagonal mass guess from the autodiff hessian at
+            # the start point — with tight reference starts and short warmups
+            # the Welford estimate alone badly underestimates the posterior
+            # scales (chains under-step); the curvature fixes the scale
+            # immediately and Welford refines it.
+            hdiag = jnp.diagonal(jax.hessian(lambda uu: lg(uu)[0])(u))
+            mass0 = jnp.where(hdiag < -1e-12, -1. / hdiag, jnp.ones(ndim))
+            mass0 = jnp.clip(mass0, 1e-12, 1e12)
+            # phase 1: adapt eps under the curvature mass, collect variance
+            u, lp, grad, eps1, var, cnt = da_scan(u, lp, grad, mass0, 0.1, nw1, k1, nw1 // 3)
+            inv_mass = jnp.where(cnt > 10, jnp.maximum(var, 1e-10), mass0)
             # phase 2: re-adapt eps under the learned mass
             u, lp, grad, eps, _, _ = da_scan(u, lp, grad, inv_mass, eps1, nw2, k2, nw2 + 1)
             return u, lp, grad, eps, inv_mass
