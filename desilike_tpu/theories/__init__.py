@@ -2,23 +2,21 @@ from .cosmology import Cosmology
 from .base import (APEffect, BaseTheoryPowerSpectrumMultipoles, BaseTheoryCorrelationFunctionMultipoles,
                    BaseTheoryCorrelationFunctionFromPowerSpectrumMultipoles, ap_k_mu, ap_s_mu)
 from .power_template import (BasePowerSpectrumTemplate, FixedPowerSpectrumTemplate, BAOPowerSpectrumTemplate,
-                             StandardPowerSpectrumTemplate, ShapeFitPowerSpectrumTemplate, DirectPowerSpectrumTemplate)
+                             BAOPhaseShiftPowerSpectrumTemplate, StandardPowerSpectrumTemplate,
+                             ShapeFitPowerSpectrumTemplate, DirectPowerSpectrumTemplate,
+                             WiggleSplitPowerSpectrumTemplate, BandVelocityPowerSpectrumTemplate,
+                             TurnOverPowerSpectrumTemplate)
 from .bao import (DampedBAOWigglesPowerSpectrumMultipoles, SimpleBAOWigglesPowerSpectrumMultipoles,
                   ResummedBAOWigglesPowerSpectrumMultipoles, FlexibleBAOWigglesPowerSpectrumMultipoles,
                   DampedBAOWigglesTracerPowerSpectrumMultipoles, SimpleBAOWigglesTracerPowerSpectrumMultipoles,
                   ResummedBAOWigglesTracerPowerSpectrumMultipoles, FlexibleBAOWigglesTracerPowerSpectrumMultipoles,
                   DampedBAOWigglesTracerCorrelationFunctionMultipoles, SimpleBAOWigglesTracerCorrelationFunctionMultipoles,
                   ResummedBAOWigglesTracerCorrelationFunctionMultipoles)
-from .extractors import BAOExtractor, StandardPowerSpectrumExtractor, ShapeFitPowerSpectrumExtractor
 from .full_shape import (KaiserPowerSpectrumMultipoles, KaiserTracerPowerSpectrumMultipoles,
-                         EFTLikeKaiserTracerPowerSpectrumMultipoles,
-                         KaiserTracerCorrelationFunctionMultipoles,
-                         EFTLikeKaiserTracerCorrelationFunctionMultipoles)
+                         EFTLikeKaiserTracerPowerSpectrumMultipoles, KaiserTracerCorrelationFunctionMultipoles,
+                         EFTLikeKaiserTracerCorrelationFunctionMultipoles, SimpleTracerPowerSpectrumMultipoles)
 from .ept import EPTTracerPowerSpectrumMultipoles, EPTTracerCorrelationFunctionMultipoles
+from .extractors import BAOExtractor, StandardPowerSpectrumExtractor, ShapeFitPowerSpectrumExtractor
 from .png import PNGTracerPowerSpectrumMultipoles
 from .bispectrum import TreeLevelBispectrumMultipoles
-from .power_template import (WiggleSplitPowerSpectrumTemplate, BandVelocityPowerSpectrumTemplate,
-                             TurnOverPowerSpectrumTemplate)
 from .lya import P1DPowerSpectrumExtractor
-from .full_shape import SimpleTracerPowerSpectrumMultipoles
-from .power_template import BAOPhaseShiftPowerSpectrumTemplate
