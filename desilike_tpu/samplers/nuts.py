@@ -271,6 +271,19 @@ class NUTSSampler(BasePosteriorSampler):
         x0, _ = self.get_start(self.nchains)
         u0 = jnp.asarray(np.array([self._unconstrain(np.asarray(x)) for x in x0]))
 
+        # Fisher-diagonal mass guess from the autodiff hessian at ONE start
+        # point, computed outside the traced sampling program (an in-trace
+        # per-chain hessian blows up compile time): with tight reference
+        # starts and short warmups the Welford estimate alone underestimates
+        # the posterior scales (chains under-step); the curvature fixes the
+        # scale immediately and Welford refines it.
+        from ..config import host_eval
+        with host_eval():
+            u_med = jnp.median(u0, axis=0)
+            hdiag = jnp.diagonal(jax.hessian(lambda uu: lg(uu)[0])(u_med))
+            mass0 = jnp.clip(jnp.where(hdiag < -1e-12, -1. / hdiag, 1.), 1e-12, 1e12)
+        mass0 = jnp.asarray(np.asarray(mass0))
+
         def warmup_chain(u, key):
             lp, grad = lg(u)
 
@@ -309,15 +322,8 @@ class NUTSSampler(BasePosteriorSampler):
             k1, k2 = jax.random.split(key)
             nw1 = nwarmup // 2
             nw2 = nwarmup - nw1
-            # phase 0: Fisher-diagonal mass guess from the autodiff hessian at
-            # the start point — with tight reference starts and short warmups
-            # the Welford estimate alone badly underestimates the posterior
-            # scales (chains under-step); the curvature fixes the scale
-            # immediately and Welford refines it.
-            hdiag = jnp.diagonal(jax.hessian(lambda uu: lg(uu)[0])(u))
-            mass0 = jnp.where(hdiag < -1e-12, -1. / hdiag, jnp.ones(ndim))
-            mass0 = jnp.clip(mass0, 1e-12, 1e12)
-            # phase 1: adapt eps under the curvature mass, collect variance
+            # phase 1: adapt eps under the (shared, precomputed) curvature
+            # mass guess, collect variance
             u, lp, grad, eps1, var, cnt = da_scan(u, lp, grad, mass0, 0.1, nw1, k1, nw1 // 3)
             inv_mass = jnp.where(cnt > 10, jnp.maximum(var, 1e-10), mass0)
             # phase 2: re-adapt eps under the learned mass
