@@ -194,18 +194,20 @@ class BaseLikelihood(Calculator):
         nsolved = len(names)
         # Percival 2014 factor for mock-estimated covariances (reference
         # likelihoods/base.py:633-656): inflates the data precision by
-        # 1/m with m depending on (nmocks, ndata, nvaried)
+        # 1/m with m depending on (nmocks, ndata, nvaried). Recomputed from
+        # the UNSCALED whitening at every logpost_fn build so the factor
+        # always reflects the current pipeline's nvaried (idempotent; a
+        # stale factor from an earlier build cannot leak through).
         for like in likelihoods:
             nm = getattr(like, '_nmocks', 0)
-            if nm and not getattr(like, '_percival_applied', False):
+            if nm:
                 nd = like.size
                 nv = len(pipe.varied_params) + nsolved
                 A = 2. / ((nm - nd - 1.) * (nm - nd - 4.))
                 B = (nm - nd - 2.) / ((nm - nd - 1.) * (nm - nd - 4.))
                 m = (1. + B * (nd - nv)) / (1. + A + B * (nv + 1.))
-                like._whiten = like._whiten / np.sqrt(m)
-                like.precision = like.precision / m
-                like._percival_applied = True
+                like._whiten = like._whiten_base / np.sqrt(m)
+                like.precision = like._precision_base / m
         static_idx = self._static_linear_indices(pipe, solved) if nsolved else []
         dyn_idx = [i for i in range(nsolved) if i not in static_idx]
         analytic_idx, basis_plan = self._analytic_basis_plan(pipe, solved, dyn_idx, likelihoods) if dyn_idx else ([], {})
@@ -357,6 +359,9 @@ class BaseGaussianLikelihood(BaseLikelihood):
         self.covariance = covariance
         self.precision = np.linalg.inv(covariance) * hartlap
         self._whiten = whiten_factor(covariance) * np.sqrt(hartlap)
+        # pre-Percival base factors (logpost_fn rescales from these)
+        self._precision_base = self.precision
+        self._whiten_base = self._whiten
 
     def flattheory(self):
         raise NotImplementedError

@@ -156,15 +156,19 @@ class WindowedPowerSpectrumMultipoles(Calculator):
 
     def calculate(self, **params):
         theory = self.theory.power
-        if self.shotnoise:
-            sn = jnp.zeros_like(theory).at[0].add(self.shotnoise) if 0 in self.ells else 0.
-            theory = theory + sn
+        has0 = 0 in self.ells
+        i0 = self.ells.index(0) if has0 else 0
+        if self.shotnoise and has0:
+            # add shot noise to the monopole row (ells may come unsorted
+            # through the k=/ells= branch: do NOT assume the monopole is row 0)
+            theory = theory.at[i0].add(self.shotnoise)
         flat = theory.reshape(-1)
         self.flatpower = jnp.asarray(self.wmatrix, dtype=flat.dtype) @ flat
-        if self.shotnoise and 0 in self.ells:
-            # subtract shot noise from the windowed monopole
-            n0 = len(self.k[self.ells.index(0)])
-            offset = jnp.zeros_like(self.flatpower).at[:n0].add(self.shotnoise)
+        if self.shotnoise and has0:
+            # subtract shot noise from the windowed monopole block
+            start = sum(len(self.k[i]) for i in range(i0))
+            n0 = len(self.k[i0])
+            offset = jnp.zeros_like(self.flatpower).at[start:start + n0].add(self.shotnoise)
             self.flatpower = self.flatpower - offset
 
     @property

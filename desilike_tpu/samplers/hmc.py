@@ -71,10 +71,11 @@ class MCLMCSampler(NUTSSampler):
         self.L = L
         self.step_size = step_size
 
-    def run(self, nsteps=2000, nwarmup=500, thin=1):
+    def run(self, nsteps=2000, nwarmup=500, thin=1, resume=False):
         ndim = self.ndim
         lg = self._logdens_grad()
         d = max(ndim, 2)
+        resume = resume and getattr(self, '_state', None) is not None
 
         def vel_update(u, g, eps):
             # ESH velocity map: rotate u towards the normalized force
@@ -101,11 +102,8 @@ class MCLMCSampler(NUTSSampler):
             u = u / jnp.sqrt(jnp.sum(u ** 2))
             return (u, z, lp, grad, eps, L), {'x': z, 'logdens': lp}
 
-        x0, _ = self.get_start(self.nchains)
-        u0 = jnp.asarray(np.array([self._unconstrain(np.asarray(x)) for x in x0]))
-
-        def run_chain(u_pos, key):
-            k1, k2, k3 = jax.random.split(key, 3)
+        def warm_chain(u_pos, key):
+            k1, k2 = jax.random.split(key)
             lp, grad = lg(u_pos)
             u = jax.random.normal(k1, (ndim,))
             u = u / jnp.sqrt(jnp.sum(u ** 2))
@@ -120,13 +118,22 @@ class MCLMCSampler(NUTSSampler):
             L = jnp.sqrt(jnp.asarray(float(ndim))) * scale
             eps = scale * 0.5
             u, z, lp, grad, _, _ = carry
-            carry = (u, z, lp, grad, eps, L)
-            keys = jax.random.split(k3, nsteps)
-            _, rec = lax.scan(step, carry, keys)
-            return rec
+            return (u, z, lp, grad, eps, L)
 
+        def sample_chain(carry, key):
+            keys = jax.random.split(key, nsteps)
+            return lax.scan(step, carry, keys)
+
+        if resume:
+            carry = self._state
+        else:
+            x0, _ = self.get_start(self.nchains)
+            u0 = jnp.asarray(np.array([self._unconstrain(np.asarray(x)) for x in x0]))
+            keys = jax.random.split(self._next_key(), self.nchains)
+            carry = jax.jit(jax.vmap(warm_chain))(u0, keys)
         keys = jax.random.split(self._next_key(), self.nchains)
-        rec = jax.jit(jax.vmap(run_chain))(u0, keys)
+        carry, rec = jax.jit(jax.vmap(sample_chain))(carry, keys)
+        self._state = carry
         xs = jnp.moveaxis(rec['x'], 0, 1)  # (nsteps, nchains, ndim)
         jax.block_until_ready(xs)
         # constrain + evaluate aux on thinned samples

@@ -65,21 +65,28 @@ class MCMCSampler(BasePosteriorSampler):
 
         return step_one
 
-    def run(self, nsteps=2000, thin=1, burnin=0, nadapt=None):
+    def run(self, nsteps=2000, thin=1, burnin=0, nadapt=None, resume=False):
+        resume = resume and getattr(self, '_state', None) is not None
         if nadapt is None:
-            nadapt = nsteps // 2 if self.adapt else 0
-        start, lp0 = self.get_start(self.nchains)
-        _, aux0 = self.logpost_batch(start)
+            nadapt = 0 if resume else (nsteps // 2 if self.adapt else 0)
+        if resume:
+            start, lp0, aux0, logscale0 = self._state
+        else:
+            start, lp0 = self.get_start(self.nchains)
+            _, aux0 = self.logpost_batch(start)
+            logscale0 = jnp.zeros(self.nchains)
         step_one = self._build_step(nadapt)
 
-        def run_chain(x0, lp0, aux0, key):
+        def run_chain(x0, lp0, aux0, logscale0, key):
             keys = jax.random.split(key, nsteps)
-            carry0 = (x0, lp0, aux0, jnp.zeros(()), jnp.zeros((), dtype=jnp.int32))
-            _, records = lax.scan(step_one, carry0, keys)
-            return records
+            carry0 = (x0, lp0, aux0, logscale0, jnp.zeros((), dtype=jnp.int32))
+            carry, records = lax.scan(step_one, carry0, keys)
+            return carry, records
 
         keys = jax.random.split(self._next_key(), self.nchains)
-        records = jax.jit(jax.vmap(run_chain))(start, lp0, aux0, keys)
+        (x_f, lp_f, aux_f, logscale_f, _), records = jax.jit(jax.vmap(run_chain))(
+            start, lp0, aux0, logscale0, keys)
+        self._state = (x_f, lp_f, aux_f, logscale_f)
         records = jax.tree.map(lambda v: jnp.moveaxis(v, 0, 1), records)  # (nsteps, nchains, ...)
         jax.block_until_ready(records['logposterior'])
         accept = records.pop('accept')

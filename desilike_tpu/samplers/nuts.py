@@ -99,7 +99,6 @@ def build_nuts_kernel(logdens_grad_fn, ndim, max_depth=10, max_delta_energy=1000
 
             sub = dict(
                 z=z_edge, r=r_edge, grad=grad_edge,
-                z_left=z_edge, r_left=r_edge,
                 z_prop=z_edge, lp_prop=jnp.zeros(()), grad_prop=grad_edge,
                 logw=-jnp.inf, sum_accept=jnp.zeros(()), n=jnp.zeros((), jnp.int32),
                 turning=jnp.zeros((), jnp.bool_), diverging=jnp.zeros((), jnp.bool_),
@@ -111,16 +110,19 @@ def build_nuts_kernel(logdens_grad_fn, ndim, max_depth=10, max_delta_energy=1000
 
             def sub_body(t):
                 i = t['i']
-                # checkpoint storage: even leaf i stored at slot popcount(i)
+                z, r, lp, grad = leapfrog(t['z'], t['r'], t['grad'])
+                # checkpoint storage: even leaf i stored POST-leapfrog at slot
+                # popcount(i) (numpyro iterative scheme) so U-turn checks below
+                # compare leaf i against the true left edge leaf i+1-2^k.
                 slot = _popcount(i)
                 store = (i % 2) == 0
-                ckpt_z = jnp.where(store, t['ckpt_z'].at[slot].set(t['z']), t['ckpt_z'])
-                ckpt_r = jnp.where(store, t['ckpt_r'].at[slot].set(t['r']), t['ckpt_r'])
+                ckpt_z = jnp.where(store, t['ckpt_z'].at[slot].set(z), t['ckpt_z'])
+                ckpt_r = jnp.where(store, t['ckpt_r'].at[slot].set(r), t['ckpt_r'])
 
-                z, r, lp, grad = leapfrog(t['z'], t['r'], t['grad'])
                 energy = -lp + _kinetic(r, inv_mass)
                 delta = energy - energy0
-                diverging = delta > max_delta_energy
+                # NaN energies must terminate (and count as) divergences
+                diverging = (delta > max_delta_energy) | jnp.isnan(delta)
                 logw_leaf = jnp.where(jnp.isnan(delta), -jnp.inf, -energy)
                 accept_prob = jnp.clip(jnp.exp(-delta), 0., 1.)
                 accept_prob = jnp.where(jnp.isnan(accept_prob), 0., accept_prob)
@@ -143,18 +145,15 @@ def build_nuts_kernel(logdens_grad_fn, ndim, max_depth=10, max_delta_energy=1000
                     applies = (ip1 % size) == 0
                     j = ip1 - size
                     slot_j = _popcount(j)
-                    zl = t_ckpt_z_new[slot_j]
-                    rl = t_ckpt_r_new[slot_j]
+                    zl = ckpt_z[slot_j]
+                    rl = ckpt_r[slot_j]
                     turn = _is_turning(zl, rl, z, r, inv_mass)
                     return turning | (applies & (k >= 1) & turn)
 
-                t_ckpt_z_new, t_ckpt_r_new = ckpt_z, ckpt_r
                 turning = lax.fori_loop(1, max_depth + 1, check_k, t['turning'])
 
                 return dict(
                     z=z, r=r, grad=grad,
-                    z_left=jnp.where(i == 0, t['z'], t['z_left']),
-                    r_left=jnp.where(i == 0, t['r'], t['r_left']),
                     z_prop=z_prop, lp_prop=lp_prop, grad_prop=grad_prop,
                     logw=logw_new, sum_accept=t['sum_accept'] + accept_prob,
                     n=t['n'] + 1, turning=turning, diverging=t['diverging'] | diverging,
@@ -260,29 +259,31 @@ class NUTSSampler(BasePosteriorSampler):
     def _make_kernel(self, lg):
         return build_nuts_kernel(lg, self.ndim, max_depth=self.max_depth)
 
-    def run(self, nsteps=1000, nwarmup=None, thin=1):
+    def run(self, nsteps=1000, nwarmup=None, thin=1, resume=False):
         if nwarmup is None:
             nwarmup = max(200, nsteps // 2)
         ndim = self.ndim
         lg = self._logdens_grad()
         kernel = self._make_kernel(lg)
         target = self.target_accept
+        resume = resume and getattr(self, '_state', None) is not None
 
-        x0, _ = self.get_start(self.nchains)
-        u0 = jnp.asarray(np.array([self._unconstrain(np.asarray(x)) for x in x0]))
+        if not resume:
+            x0, _ = self.get_start(self.nchains)
+            u0 = jnp.asarray(np.array([self._unconstrain(np.asarray(x)) for x in x0]))
 
-        # Fisher-diagonal mass guess from the autodiff hessian at ONE start
-        # point, computed outside the traced sampling program (an in-trace
-        # per-chain hessian blows up compile time): with tight reference
-        # starts and short warmups the Welford estimate alone underestimates
-        # the posterior scales (chains under-step); the curvature fixes the
-        # scale immediately and Welford refines it.
-        from ..config import host_eval
-        with host_eval():
-            u_med = jnp.median(u0, axis=0)
-            hdiag = jnp.diagonal(jax.hessian(lambda uu: lg(uu)[0])(u_med))
-            mass0 = jnp.clip(jnp.where(hdiag < -1e-12, -1. / hdiag, 1.), 1e-12, 1e12)
-        mass0 = jnp.asarray(np.asarray(mass0))
+            # Fisher-diagonal mass guess from the autodiff hessian at ONE start
+            # point, computed outside the traced sampling program (an in-trace
+            # per-chain hessian blows up compile time): with tight reference
+            # starts and short warmups the Welford estimate alone underestimates
+            # the posterior scales (chains under-step); the curvature fixes the
+            # scale immediately and Welford refines it.
+            from ..config import host_eval
+            with host_eval():
+                u_med = jnp.median(u0, axis=0)
+                hdiag = jnp.diagonal(jax.hessian(lambda uu: lg(uu)[0])(u_med))
+                mass0 = jnp.clip(jnp.where(hdiag < -1e-12, -1. / hdiag, 1.), 1e-12, 1e12)
+            mass0 = jnp.asarray(np.asarray(mass0))
 
         def warmup_chain(u, key):
             lp, grad = lg(u)
@@ -341,27 +342,31 @@ class NUTSSampler(BasePosteriorSampler):
                 return (u, lp, grad), record
 
             keys = jax.random.split(key, nsteps)
-            _, records = lax.scan(body, (u, lp, grad), keys)
-            return records
+            carry, records = lax.scan(body, (u, lp, grad), keys)
+            return carry, records
 
         k_all = jax.random.split(self._next_key(), 2 * self.nchains)
         kw, ks = k_all[:self.nchains], k_all[self.nchains:]
 
-        warm = jax.jit(jax.vmap(warmup_chain))
-        u, lp, grad, eps, inv_mass = warm(u0, kw)
-        jax.block_until_ready(eps)
-        if self.pool_adaptation:
-            # cross-chain pooling: with many chains the per-chain dual
-            # averaging occasionally leaves outliers with a degenerate step
-            # size (frozen chains -> inflated Gelman-Rubin); the median step
-            # size and mean mass matrix are far more robust and also reduce
-            # tree-depth divergence across the vmapped lockstep batch.
-            eps = jnp.full_like(eps, jnp.median(eps))
-            inv_mass = jnp.broadcast_to(jnp.mean(inv_mass, axis=0), inv_mass.shape)
+        if resume:
+            u, lp, grad, eps, inv_mass = self._state
+        else:
+            warm = jax.jit(jax.vmap(warmup_chain))
+            u, lp, grad, eps, inv_mass = warm(u0, kw)
+            jax.block_until_ready(eps)
+            if self.pool_adaptation:
+                # cross-chain pooling: with many chains the per-chain dual
+                # averaging occasionally leaves outliers with a degenerate step
+                # size (frozen chains -> inflated Gelman-Rubin); the median step
+                # size and mean mass matrix are far more robust and also reduce
+                # tree-depth divergence across the vmapped lockstep batch.
+                eps = jnp.full_like(eps, jnp.median(eps))
+                inv_mass = jnp.broadcast_to(jnp.mean(inv_mass, axis=0), inv_mass.shape)
         self.diagnostics['step_size'] = np.asarray(eps)
 
         sample = jax.jit(jax.vmap(sample_chain))
-        records = sample(u, lp, grad, eps, inv_mass, ks)
+        (u_f, lp_f, grad_f), records = sample(u, lp, grad, eps, inv_mass, ks)
+        self._state = (u_f, lp_f, grad_f, eps, inv_mass)
         records = jax.tree.map(lambda v: jnp.moveaxis(v, 0, 1), records)
         jax.block_until_ready(records['logposterior'])
         div = records.pop('divergence')

@@ -180,4 +180,14 @@ def test_percival_factor_applied():
     like.runtime_info.initialize()
     assert like.hartlap < 1.
     fn = like.logpost_fn()
-    assert getattr(like, '_percival_applied', False)
+    # precision rescaled by exactly the Percival 2014 m factor
+    nm, nd = 200, len(obs.flatdata)
+    nv = len(like.pipeline.varied_params) + len(like.pipeline.solved_params)
+    A = 2. / ((nm - nd - 1.) * (nm - nd - 4.))
+    B = (nm - nd - 2.) / ((nm - nd - 1.) * (nm - nd - 4.))
+    m = (1. + B * (nd - nv)) / (1. + A + B * (nv + 1.))
+    np.testing.assert_allclose(like.precision, like._precision_base / m, rtol=1e-12)
+    # rebuilding must be idempotent (factor recomputed from base, not stacked)
+    prec1 = like.precision.copy()
+    like.logpost_fn()
+    np.testing.assert_allclose(like.precision, prec1, rtol=0, atol=0)
