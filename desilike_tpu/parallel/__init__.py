@@ -1,1 +1,1 @@
-from .mesh import make_mesh, shard_batch, sharded_vmap_fn, fold_keys
+from .mesh import make_mesh, shard_batch, sharded_vmap_fn, fold_keys, chain_gelman_rubin

@@ -19,6 +19,10 @@ def make_mesh(n_devices=None, axis='chains', devices=None):
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if n_devices > len(devices):
+                raise ValueError('requested a {}-device mesh but only {} devices are '
+                                 'available (set xla_force_host_platform_device_count '
+                                 'for virtual CPU devices)'.format(n_devices, len(devices)))
             devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 
@@ -48,3 +52,18 @@ def fold_keys(key, n, mesh=None):
     """n per-chain keys from one root key — bit-reproducible regardless of
     how chains are laid out on the mesh."""
     return jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
+
+
+def chain_gelman_rubin(x):
+    """Split-R statistic from on-device positions, pure jnp.
+
+    x : (nsteps, nchains, ndim). Under jit with x sharded over the 'chains'
+    mesh axis, the cross-chain mean/variance reductions compile to XLA
+    collectives (psum over ICI) — the multi-chip convergence check never
+    gathers chains to the host (reference Diagnostics via mpi gather,
+    samplers/base.py:504, redesigned)."""
+    nsteps = x.shape[0]
+    within = jnp.mean(jnp.var(x, axis=0, ddof=1), axis=0)
+    between = nsteps * jnp.var(jnp.mean(x, axis=0), axis=0, ddof=1)
+    var = (nsteps - 1.) / nsteps * within + between / nsteps
+    return jnp.sqrt(var / within)

@@ -20,7 +20,8 @@ from ..parameters import ParameterCollection
 class BasePosteriorSampler(BaseClass):
     """Common machinery: flat-vector posterior, ref-distribution starts."""
 
-    def __init__(self, likelihood, seed=42, max_tries=1000, save_fn=None, chains=None):
+    def __init__(self, likelihood, seed=42, max_tries=1000, save_fn=None, chains=None,
+                 mesh=None):
         self.likelihood = likelihood
         self.pipeline = likelihood.pipeline
         self.varied_params = self.pipeline.varied_params
@@ -33,7 +34,32 @@ class BasePosteriorSampler(BaseClass):
         self.key = jax.random.key(seed)
         self._logpost_aux_fn = None
         self._resume_chain = chains if isinstance(chains, Chain) else (Chain.load(chains) if chains else None)
+        self.mesh = mesh
         self.diagnostics = {}
+
+    def _shard_chains(self, *arrays):
+        """Place per-chain batches on the sampler's mesh (sharded over the
+        'chains' axis) so the vmapped jitted kernels partition across chips
+        (computation follows data). No-op without a mesh. Per-chain math is
+        elementwise over the batch axis, so a run is bit-identical however
+        many devices the mesh has (SURVEY.md §2.11 determinism contract)."""
+        if self.mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from ..parallel.mesh import shard_batch
+        nbatch = jax.tree.leaves(arrays[0])[0].shape[0]
+        ndev = self.mesh.size
+        if nbatch % ndev:
+            raise ValueError('chain batch size {} is not divisible by mesh size {}'.format(nbatch, ndev))
+        out = tuple(shard_batch(a, self.mesh, axis=self.mesh.axis_names[0]) for a in arrays)
+        return out if len(out) > 1 else out[0]
+
+    def _mesh_gelman_rubin(self, positions):
+        """On-device split-R over the sharded chain batch (cross-chip
+        collectives when a mesh is set); recorded in diagnostics."""
+        from ..parallel.mesh import chain_gelman_rubin
+        gr = jax.jit(chain_gelman_rubin)(positions)
+        self.diagnostics['gelman_rubin_mesh'] = np.asarray(gr)
+        return gr
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)

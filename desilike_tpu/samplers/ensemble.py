@@ -84,6 +84,7 @@ class EnsembleSampler(BasePosteriorSampler):
         else:
             start, lp0 = self.get_start(self.nwalkers)
             _, aux0 = self.logpost_batch(start)
+            start, lp0, aux0 = self._shard_chains(start, lp0, aux0)
         step = self._build_step()
         keys = jax.random.split(self._next_key(), nsteps)
 

@@ -130,8 +130,9 @@ class MCLMCSampler(NUTSSampler):
             x0, _ = self.get_start(self.nchains)
             u0 = jnp.asarray(np.array([self._unconstrain(np.asarray(x)) for x in x0]))
             keys = jax.random.split(self._next_key(), self.nchains)
+            u0, keys = self._shard_chains(u0, keys)
             carry = jax.jit(jax.vmap(warm_chain))(u0, keys)
-        keys = jax.random.split(self._next_key(), self.nchains)
+        keys = self._shard_chains(jax.random.split(self._next_key(), self.nchains))
         carry, rec = jax.jit(jax.vmap(sample_chain))(carry, keys)
         self._state = carry
         xs = jnp.moveaxis(rec['x'], 0, 1)  # (nsteps, nchains, ndim)

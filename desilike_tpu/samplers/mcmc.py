@@ -84,11 +84,14 @@ class MCMCSampler(BasePosteriorSampler):
             return carry, records
 
         keys = jax.random.split(self._next_key(), self.nchains)
+        start, lp0, aux0, logscale0, keys = self._shard_chains(start, lp0, aux0, logscale0, keys)
         (x_f, lp_f, aux_f, logscale_f, _), records = jax.jit(jax.vmap(run_chain))(
             start, lp0, aux0, logscale0, keys)
         self._state = (x_f, lp_f, aux_f, logscale_f)
         records = jax.tree.map(lambda v: jnp.moveaxis(v, 0, 1), records)  # (nsteps, nchains, ...)
         jax.block_until_ready(records['logposterior'])
+        if self.mesh is not None:
+            self._mesh_gelman_rubin(records['x'])
         accept = records.pop('accept')
         self.diagnostics['acceptance_rate'] = float(jnp.mean(accept))
         x = records.pop('x')

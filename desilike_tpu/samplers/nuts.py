@@ -351,6 +351,7 @@ class NUTSSampler(BasePosteriorSampler):
         if resume:
             u, lp, grad, eps, inv_mass = self._state
         else:
+            u0, kw = self._shard_chains(u0, kw)
             warm = jax.jit(jax.vmap(warmup_chain))
             u, lp, grad, eps, inv_mass = warm(u0, kw)
             jax.block_until_ready(eps)
@@ -364,11 +365,14 @@ class NUTSSampler(BasePosteriorSampler):
                 inv_mass = jnp.broadcast_to(jnp.mean(inv_mass, axis=0), inv_mass.shape)
         self.diagnostics['step_size'] = np.asarray(eps)
 
+        u, lp, grad, eps, inv_mass, ks = self._shard_chains(u, lp, grad, eps, inv_mass, ks)
         sample = jax.jit(jax.vmap(sample_chain))
         (u_f, lp_f, grad_f), records = sample(u, lp, grad, eps, inv_mass, ks)
         self._state = (u_f, lp_f, grad_f, eps, inv_mass)
         records = jax.tree.map(lambda v: jnp.moveaxis(v, 0, 1), records)
         jax.block_until_ready(records['logposterior'])
+        if self.mesh is not None:
+            self._mesh_gelman_rubin(records['x'])
         div = records.pop('divergence')
         self.diagnostics['divergence_rate'] = float(jnp.mean(div))
         x = records.pop('x')
