@@ -6,3 +6,4 @@ from .external import (BaseBBNLikelihood, Schoneberg2024BBNLikelihood,
                        CMBDistancePriorLikelihood)
 from .supernovae import (BaseSNLikelihood, PantheonLikelihood, PantheonPlusLikelihood,
                          Union3Likelihood, DESY5SNLikelihood)
+from . import cmb

@@ -522,6 +522,12 @@ class SumLikelihood(BaseLikelihood):
 
     @property
     def likelihoods(self):
+        if '_likelihoods' not in self.__dict__:
+            # not yet initialized (lazy lifecycle): read the init config so
+            # chained sums (a + b + c) flatten correctly
+            from ..utils import is_sequence
+            likes = self.init.get('likelihoods')
+            return list(likes) if is_sequence(likes) else [likes]
         return list(self._likelihoods)
 
     def calculate(self, **params):

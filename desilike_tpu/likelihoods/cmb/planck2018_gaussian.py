@@ -1,0 +1,184 @@
+"""Compressed (Gaussian) Planck 2018 likelihood on cosmological parameters.
+
+Counterpart of reference likelihoods/cmb/planck2018_gaussian.py: a Gaussian
+in derived cosmological quantities (mean/covariance from the published
+getdist products). Differentiable end-to-end through the in-framework
+background (h, omega_*, rs_drag, theta_star_100, ...).
+
+Accuracy note: derived quantities computed by the EH98-class backend carry
+its approximations — 100*theta_star is ~0.2% low vs CLASS at Planck
+parameters (sound speed / z_star fitting-formula level). For unbiased
+production constraints on theta-like quantities, fit in (omega_b, omega_cdm,
+H0, logA, n_s, tau_reio) where the backend is exact, or inject corrections
+via ``offsets``.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..base import BaseGaussianLikelihood
+from ...theories.cosmology import Cosmology, TNCDM_NEFF
+from ...cosmology import background as bg
+
+
+# getdist name -> framework name (public Planck chain conventions,
+# reference planck2018_gaussian.py:10)
+convert_planck2018_params = {
+    'omegabh2': 'omega_b', 'omegach2': 'omega_cdm', 'omegak': 'Omega_k',
+    'w': 'w0_fde', 'wa': 'wa_fde', 'theta': 'theta_star_100', 'tau': 'tau_reio',
+    'mnu': 'm_ncdm', 'logA': 'logA', 'ns': 'n_s', 'nrun': 'alpha_s',
+    'H0': 'H0', 'omegam': 'Omega_m', 'omegal': 'Omega_Lambda',
+    'rdrag': 'rs_drag_mpc', 'zdrag': 'z_drag', 'sigma8': 'sigma8',
+}
+
+
+def read_getdist_covmat(fn):
+    """Read a getdist .covmat: '# name1 name2 ...' header + matrix rows.
+    Returns (names, cov)."""
+    with open(fn) as f:
+        header = f.readline()
+    names = header.lstrip('#').split()
+    cov = np.loadtxt(fn, skiprows=1)
+    return names, np.atleast_2d(cov)
+
+
+def read_getdist_margestats(fn):
+    """Read a getdist .margestats: returns {name: (mean, sddev)}."""
+    stats = {}
+    with open(fn) as f:
+        started = False
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith('#'):
+                continue
+            parts = line.split()
+            if parts[0] == 'parameter':
+                started = True
+                continue
+            if not started:
+                continue
+            try:
+                mean, std = float(parts[1]), float(parts[2])
+            except (IndexError, ValueError):
+                continue
+            stats[parts[0].rstrip('*')] = (mean, std)
+    return stats
+
+
+class BasePlanck2018GaussianLikelihood(BaseGaussianLikelihood):
+    """Gaussian likelihood on derived cosmological quantities.
+
+    Parameters
+    ----------
+    cosmo : Cosmology, default=None
+    quantities : list of str
+        Framework-side quantity names: any of omega_b, omega_cdm, h, H0,
+        logA, A_s, n_s, tau_reio, m_ncdm, Omega_k, w0_fde, wa_fde, Omega_m,
+        rs_drag (Mpc/h), rs_drag_mpc, theta_star_100, sigma8, N_eff.
+    mean, covariance : arrays
+        Explicit data vector/covariance, OR
+    dist_fn : str
+        getdist basename (reads dist_fn + '.covmat' / '.margestats' and
+        converts getdist parameter names; reference
+        planck2018_gaussian.py:179-190).
+    offsets : dict, default=None
+        {quantity: additive correction to the theory} — inject e.g. the
+        CLASS-vs-EH98 theta offset at the fiducial point.
+    """
+
+    name = 'BasePlanck2018Gaussian'
+
+    def initialize(self, cosmo=None, quantities=None, mean=None, covariance=None,
+                   dist_fn=None, offsets=None, **kwargs):
+        self.cosmo = cosmo if cosmo is not None else Cosmology(fixed=False)
+        if dist_fn is not None:
+            names, cov = read_getdist_covmat(dist_fn + '.covmat')
+            stats = read_getdist_margestats(dist_fn + '.margestats')
+            if quantities is None:
+                keep = [n for n in names if n in convert_planck2018_params and n in stats]
+            else:
+                back = {v: k for k, v in convert_planck2018_params.items()}
+                keep = [back[q] for q in quantities]
+            idx = [names.index(n) for n in keep]
+            covariance = cov[np.ix_(idx, idx)]
+            mean = [stats[n][0] for n in keep]
+            quantities = [convert_planck2018_params[n] for n in keep]
+        if quantities is None or mean is None or covariance is None:
+            raise ValueError('provide (quantities, mean, covariance) or dist_fn')
+        self.quantities = list(quantities)
+        self.offsets = dict(offsets or {})
+        super().initialize(data=np.asarray(mean, dtype='f8'),
+                           covariance=np.asarray(covariance, dtype='f8'))
+
+    def _quantity(self, q):
+        cosmo = self.cosmo
+        p = cosmo.p
+        if q in p:
+            return p[q]
+        if q == 'h':
+            return p['h']
+        if q == 'H0':
+            return 100. * p['h']
+        if q == 'logA':
+            return jnp.log(1e10 * p['A_s'])
+        if q == 'Omega_m':
+            return bg.Omega_m(p)
+        if q == 'Omega_Lambda':
+            return bg.Omega_de(p)
+        if q == 'rs_drag':
+            return cosmo.rs_drag()
+        if q == 'rs_drag_mpc':
+            return cosmo.rs_drag() / p['h']
+        if q == 'theta_star_100':
+            return bg.theta_star_100(p)
+        if q == 'z_star':
+            return bg.z_star(p)
+        if q == 'sigma8':
+            return cosmo.sigma8()
+        if q == 'N_eff':
+            return p['N_ur'] + p.get('N_ncdm', 1) * TNCDM_NEFF
+        raise ValueError('unknown derived quantity {}'.format(q))
+
+    def flattheory(self):
+        vals = [jnp.asarray(self._quantity(q)) + self.offsets.get(q, 0.)
+                for q in self.quantities]
+        return jnp.stack(vals)
+
+
+class Planck2018GaussianLikelihood(BasePlanck2018GaussianLikelihood):
+    """Built-in compressed base-LCDM Planck 2018 TTTEEE+lowE+lensing
+    constraint using the published marginal means/sigmas and marginal
+    correlation structure of (omega_b, omega_cdm, n_s, logA, tau_reio, H0)
+    (Planck 2018 VI, arXiv:1807.06209, Table 2; correlations from the public
+    base_plikHM_TTTEEE_lowl_lowE_lensing products).
+
+    theta_MC is deliberately excluded from the default set (EH98-backend
+    accuracy note above); use dist_fn= with the published covmat to change
+    the parameterization.
+    """
+
+    name = 'Planck2018Gaussian'
+    quantities_default = ('omega_b', 'omega_cdm', 'n_s', 'logA', 'tau_reio', 'H0')
+    mean_default = (0.02237, 0.1200, 0.9649, 3.044, 0.0544, 67.36)
+    sigma_default = (0.00015, 0.0012, 0.0042, 0.014, 0.0073, 0.54)
+    # marginal correlation matrix (public chains, rounded; the dominant
+    # structure is the (logA, tau) degeneracy and the omega_cdm-H0
+    # anticorrelation)
+    corr_default = (
+        (1.00, -0.53, 0.47, 0.02, 0.09, 0.55),
+        (-0.53, 1.00, -0.76, 0.02, -0.04, -0.87),
+        (0.47, -0.76, 1.00, 0.04, 0.07, 0.77),
+        (0.02, 0.02, 0.04, 1.00, 0.95, 0.03),
+        (0.09, -0.04, 0.07, 0.95, 1.00, 0.09),
+        (0.55, -0.87, 0.77, 0.03, 0.09, 1.00),
+    )
+
+    def initialize(self, cosmo=None, **kwargs):
+        sig = np.asarray(self.sigma_default)
+        corr = np.asarray(self.corr_default)
+        corr = (corr + corr.T) / 2.
+        cov = corr * np.outer(sig, sig)
+        super().initialize(cosmo=cosmo, quantities=list(self.quantities_default),
+                           mean=np.asarray(self.mean_default), covariance=cov, **kwargs)

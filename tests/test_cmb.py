@@ -1,0 +1,351 @@
+"""CMB likelihood family: ClTheory injection, plik-lite, low-ell, lollipop,
+ACT DR6 lensing, hillipop, compressed Gaussian."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from desilike_tpu.core import Pipeline
+from desilike_tpu.likelihoods.cmb import (
+    ClTheory, synthetic_cl_tables,
+    TTTEEEHighlPlanck2018LiteLikelihood, TTHighlPlanck2018LiteLikelihood,
+    TTLowlPlanck2018Likelihood, EELowlPlanck2018Likelihood,
+    EELowlPlanck2020LollipopLikelihood, EBLowlPlanck2020LollipopLikelihood,
+    ACTDR6LensingLikelihood, TTTEEEHighlPlanck2020HillipopLikelihood,
+    Planck2018GaussianLikelihood, BasePlanck2018GaussianLikelihood,
+    read_getdist_covmat, read_getdist_margestats)
+
+
+LMAX = 1500
+TABLES = synthetic_cl_tables(lmax=LMAX)
+MUK2 = (2.7255 * 1e6) ** 2
+
+
+def run_once(calc, values=None):
+    pipe = Pipeline(calc)
+    pipe.evaluate(values or {})
+    return pipe
+
+
+# --- ClTheory ---
+
+def test_cltheory_tables_and_units():
+    th = ClTheory(cls={'tt': 800, 'te': 800}, tables=TABLES, unit='muK')
+    run_once(th)
+    assert th.cls['tt'].shape == (801,)
+    np.testing.assert_allclose(np.asarray(th.cls['tt']), TABLES['tt'][:801] * MUK2, rtol=1e-6)
+    # raw units
+    th2 = ClTheory(cls={'pp': 500}, tables=TABLES)
+    run_once(th2)
+    np.testing.assert_allclose(np.asarray(th2.cls['pp']), TABLES['pp'][:501], rtol=1e-6)
+
+
+def test_cltheory_derivative_response():
+    dtab = {'tt': 2. * TABLES['tt']}
+    th = ClTheory(cls={'tt': 400}, tables=TABLES, derivatives={'amp': dtab},
+                  center={'amp': 1.})
+    pipe = Pipeline(th)
+    assert 'amp' in pipe.params
+    pipe.evaluate({'amp': 1.})
+    base = np.asarray(th.cls['tt']).copy()
+    pipe.evaluate({'amp': 1.5})
+    shifted = np.asarray(th.cls['tt'])
+    np.testing.assert_allclose(shifted, base + 0.5 * 2. * TABLES['tt'][:401], rtol=1e-6)
+
+
+def test_cltheory_requires_tables():
+    with pytest.raises(Exception):
+        run_once(ClTheory(cls={'tt': 100}))
+
+
+# --- plik-lite ---
+
+def plik_lite_fixture(cls=('tt', 'te', 'ee')):
+    rng = np.random.default_rng(2)
+    width, lo0, nbin = 30, 30, 30
+    ellmin = lo0 + width * np.arange(nbin)
+    ellmax = ellmin + width - 1
+    weights = np.ones(LMAX + 1)
+    # data = binned synthetic truth in muK^2
+    blocks = []
+    for cl in ('tt', 'te', 'ee'):
+        B = np.zeros((nbin, ellmax.max() + 1))
+        for i, (lo, hi) in enumerate(zip(ellmin, ellmax)):
+            B[i, lo:hi + 1] = 1. / width
+        blocks.append(B @ (TABLES[cl][:ellmax.max() + 1] * MUK2))
+    flatdata = np.concatenate(blocks)
+    cov = np.diag((0.01 * np.abs(flatdata) + 1e-3 * np.median(np.abs(flatdata))) ** 2)
+    return dict(flatdata=flatdata, covariance=cov, ellmin=ellmin, ellmax=ellmax,
+                weights=weights / width * width, nbins=[nbin, nbin, nbin])
+
+
+def test_plik_lite_chi2_zero_at_truth():
+    data = plik_lite_fixture()
+    # the fixture binning averages (weight 1/width); likelihood bins with
+    # weights -> feed weights = 1/width
+    data['weights'] = np.full(LMAX + 1, 1. / 30)
+    theory = ClTheory(tables=TABLES)
+    like = TTTEEEHighlPlanck2018LiteLikelihood(theory=theory, data=data, elllim=(30, 1500))
+    pipe = run_once(like, {'A_planck': 1.})
+    assert float(like.loglikelihood) == pytest.approx(0., abs=1e-6)
+    # calibration shift must decrease the likelihood
+    pipe.evaluate({'A_planck': 1.01})
+    assert float(like.loglikelihood) < -1.
+
+
+def test_plik_lite_tt_only_and_gradient():
+    data = plik_lite_fixture()
+    data['weights'] = np.full(LMAX + 1, 1. / 30)
+    like = TTHighlPlanck2018LiteLikelihood(theory=ClTheory(tables=TABLES),
+                                           data=data, elllim=(30, 1500))
+    fn = like.logpost_fn()
+    lp, _ = fn({'A_planck': jnp.asarray(1.)})
+    g = jax.grad(lambda a: fn({'A_planck': a})[0])(jnp.asarray(1.))
+    assert np.isfinite(float(lp)) and np.isfinite(float(g))
+
+
+# --- commander TT low-ell ---
+
+def test_ttlowl_gaussianized_matches_analytic():
+    nell = 28
+    rng = np.random.default_rng(3)
+    ells = np.arange(2, 30)
+    dl_true = TABLES['tt'][2:30] * MUK2 * ells * (ells + 1) / (2 * np.pi)
+    sig = 0.1 * np.abs(dl_true) + 10.
+    # linear x(Cl) = (Cl - dl_true)/sig on a wide grid -> exact Gaussian
+    ngrid = 200
+    grid = dl_true[:, None] + np.linspace(-8, 8, ngrid)[None, :] * sig[:, None]
+    x = (grid - dl_true[:, None]) / sig[:, None]
+    cl2x = np.stack([grid, x], axis=-1)
+    cov = np.diag(np.ones(nell))
+    data = dict(cl2x=cl2x, mu=np.zeros(nell), covariance=cov, mu_sigma=np.zeros(nell))
+    like = TTLowlPlanck2018Likelihood(theory=ClTheory(tables=TABLES), data=data)
+    run_once(like, {'A_planck': 1.})
+    # at truth: x = 0, chi2 = 0, logjac = sum log(1/sig)
+    expected = np.sum(np.log(1. / sig))
+    assert float(like.loglikelihood) == pytest.approx(expected, rel=1e-4)
+
+
+def test_eelowl_prob_table():
+    nell, ngrid = 28, 3000
+    dcl = 1e-4
+    bins = dcl * (0.5 + np.arange(ngrid))
+    ells = np.arange(2, 30)
+    dl_true = TABLES['ee'][2:30] * MUK2 * ells * (ells + 1) / (2 * np.pi)
+    dl_true = np.clip(dl_true, 1e-3, 0.25)  # inside the table domain
+    tables = dict(TABLES)
+    tables['ee'] = tables['ee'].copy()
+    tables['ee'][2:30] = dl_true * 2 * np.pi / (ells * (ells + 1)) / MUK2
+    prob = -0.5 * ((bins[None, :] - dl_true[:, None]) / (0.1 * dl_true[:, None])) ** 2
+    like = EELowlPlanck2018Likelihood(theory=ClTheory(tables=tables), data=dict(prob=prob))
+    run_once(like, {'A_planck': 1.})
+    assert float(like.loglikelihood) == pytest.approx(0., abs=1e-3)
+
+
+# --- lollipop ---
+
+def lollipop_fixture():
+    lmax = 30
+    ells = np.arange(lmax + 1).astype('f8')
+    fac = ells * (ells + 1) / (2 * np.pi) * MUK2
+    dl = np.stack([TABLES['ee'][:lmax + 1] * fac,
+                   TABLES['bb'][:lmax + 1] * fac,
+                   np.zeros(lmax + 1)])
+    nell = lmax - 1
+    cov = np.zeros((3 * nell, 3 * nell))
+    var = (0.2 * np.abs(np.concatenate([dl[0, 2:], dl[1, 2:], 0.1 * dl[0, 2:] + 1e-6])) + 1e-8) ** 2
+    np.fill_diagonal(cov, var)
+    return dict(cl=dl, fiducial=dl.copy(), covariance=cov, nsim=400, fsky=0.52)
+
+
+def test_lollipop_ee_peak_at_data():
+    data = lollipop_fixture()
+    like = EELowlPlanck2020LollipopLikelihood(theory=ClTheory(tables=TABLES), data=data)
+    pipe = run_once(like, {'A_planck': 1.})
+    lp0 = float(like.loglikelihood)
+    assert lp0 == pytest.approx(0., abs=1e-6)  # H&L chi2 = 0 at model == data
+    pipe.evaluate({'A_planck': 1.05})
+    assert float(like.loglikelihood) < lp0 - 0.1
+
+
+def test_lollipop_eb_2field():
+    data = lollipop_fixture()
+    like = EBLowlPlanck2020LollipopLikelihood(theory=ClTheory(tables=TABLES), data=data)
+    pipe = run_once(like, {'A_planck': 1.})
+    assert float(like.loglikelihood) == pytest.approx(0., abs=1e-5)
+    pipe.evaluate({'A_planck': 1.05})
+    assert float(like.loglikelihood) < -1e-3
+
+
+# --- ACT DR6 lensing ---
+
+def act_fixture(include_planck=False, corrections=True):
+    lmax = 1400  # < LMAX so the (lmax+2)-length tables slice fully
+    ell = np.arange(lmax + 2).astype('f8')
+    clkk = TABLES['pp'][:lmax + 2] * (ell * (ell + 1)) ** 2 / 4.
+    nbin = 20
+    binmat = np.zeros((nbin, lmax + 2))
+    edges = np.linspace(40, lmax, nbin + 1).astype(int)
+    for i in range(nbin):
+        binmat[i, edges[i]:edges[i + 1]] = 1. / (edges[i + 1] - edges[i])
+    data = dict(
+        data_binned_clkk=binmat @ clkk,
+        cinv=np.eye(nbin) / (0.05 * np.abs(binmat @ clkk) + 1e-12) ** 2,
+        binmat_act=binmat, include_planck=include_planck,
+        likelihood_corrections=corrections, trim_ellmax=lmax,
+        fiducial_cl_kk=clkk,
+        dN1_kk=np.zeros((lmax + 2, lmax + 2)),
+        dAL_dC=np.zeros((4, lmax + 2, lmax + 2)),
+        fAL=np.ones(lmax + 2),
+    )
+    for s in ('tt', 'ee', 'bb', 'te'):
+        data['fiducial_cl_' + s] = TABLES[s][:lmax + 2] * MUK2
+        data['dN1_' + s] = np.zeros((lmax + 2, lmax + 2))
+    return data
+
+
+def test_act_dr6_lensing_truth():
+    data = act_fixture()
+    like = ACTDR6LensingLikelihood(theory=ClTheory(tables=TABLES), data=data)
+    pipe = run_once(like, {'Alens': 1.})
+    assert float(like.loglikelihood) == pytest.approx(0., abs=1e-5)
+    pipe.evaluate({'Alens': 1.1})
+    assert float(like.loglikelihood) < -1.
+
+
+def test_act_corrections_move_theory():
+    data = act_fixture()
+    lmax = 1400
+    data['dN1_tt'] = np.full((lmax + 2, lmax + 2), 1e-6)
+    like = ACTDR6LensingLikelihood(theory=ClTheory(tables=TABLES), data=data)
+    run_once(like, {'Alens': 1.})
+    tables2 = dict(TABLES)
+    tables2['tt'] = TABLES['tt'] * 1.05
+    like2 = ACTDR6LensingLikelihood(theory=ClTheory(tables=tables2), data=data)
+    run_once(like2, {'Alens': 1.})
+    assert not np.allclose(np.asarray(like.flattheory()), np.asarray(like2.flattheory()))
+
+
+# --- hillipop ---
+
+def hillipop_fixture(modes=('TT', 'EE', 'TE')):
+    lmax = 1000
+    nxspec, nxfreq = 15, 6
+    ells = np.arange(lmax + 1).astype('f8')
+    fac = ells * (ells + 1) / (2 * np.pi) * MUK2
+    dlth = {'TT': TABLES['tt'][:lmax + 1] * fac, 'EE': TABLES['ee'][:lmax + 1] * fac,
+            'TE': TABLES['te'][:lmax + 1] * fac}
+    dldata = {m: np.tile(dlth[m], (nxspec, 1)) for m in ('TT', 'EE', 'TE')}
+    lmins = {m: np.full(nxfreq, 50) for m in ('TT', 'EE', 'TE')}
+    lmaxs = {m: np.full(nxfreq, 900) for m in ('TT', 'EE', 'TE')}
+    # expected flattening: per mode, per cross-frequency, the ell range
+    flat = np.concatenate([dlth[m][50:901] for m in modes for _ in range(nxfreq)])
+    # errors ~0.01% of signal: above f32 roundoff, below foreground shifts
+    invcov = np.diag(1. / (1e-4 * np.abs(flat) + 1e-3) ** 2)
+    return dict(dldata={m: dldata[m] for m in set(list(modes) + ['TT', 'EE', 'TE'])},
+                lmins=lmins, lmaxs=lmaxs, invcov=invcov), dlth
+
+
+def test_hillipop_zero_foregrounds_truth():
+    data, dlth = hillipop_fixture()
+    like = TTTEEEHighlPlanck2020HillipopLikelihood(theory=ClTheory(tables=TABLES), data=data)
+    zero_fg = dict(A_planck=1., Aradio=0., Adusty=0., Acib=0., beta_cib=1.75,
+                   Atsz=0., Aksz=0., xi=0., AdustT=0., beta_dustT=1.51,
+                   AdustP=0., beta_dustP=1.59)
+    zero_fg.update({'cal' + m: 1. for m in ('100A', '100B', '143A', '143B', '217A', '217B')})
+    zero_fg.update({'pe' + m: 1. for m in ('100A', '100B', '143A', '143B', '217A', '217B')})
+    pipe = run_once(like, zero_fg)
+    lp_zero = float(like.loglikelihood)
+    assert lp_zero == pytest.approx(0., abs=0.5)  # f32 roundoff vs 0.01% errors
+    # foregrounds move the model
+    on = dict(zero_fg, Aradio=60., Acib=4., Atsz=3., AdustT=1.)
+    pipe.evaluate(on)
+    assert float(like.loglikelihood) < lp_zero - 1.
+
+
+def test_hillipop_calibration_direction():
+    data, _ = hillipop_fixture()
+    like = TTTEEEHighlPlanck2020HillipopLikelihood(theory=ClTheory(tables=TABLES), data=data)
+    values = dict(A_planck=1., Aradio=0., Adusty=0., Acib=0., beta_cib=1.75,
+                  Atsz=0., Aksz=0., xi=0., AdustT=0., beta_dustT=1.51,
+                  AdustP=0., beta_dustP=1.59)
+    values.update({'cal' + m: 1. for m in ('100A', '100B', '143A', '143B', '217A', '217B')})
+    values.update({'pe' + m: 1. for m in ('100A', '100B', '143A', '143B', '217A', '217B')})
+    pipe = run_once(like, values)
+    lp0 = float(like.loglikelihood)
+    pipe.evaluate(dict(values, cal100A=1.02))
+    assert float(like.loglikelihood) < lp0 - 0.1
+
+
+# --- compressed Gaussian ---
+
+def test_planck2018_gaussian_pipeline():
+    like = Planck2018GaussianLikelihood()
+    fn = like.logpost_fn()
+    names = like.pipeline.varied_params.names()
+    values = {n: jnp.asarray(like.pipeline.params[n].value) for n in names}
+    lp, _ = fn(values)
+    assert np.isfinite(float(lp))
+    # at the Planck mean the chi2 should be ~0 (mean corresponds to defaults)
+    assert float(lp) > -5.
+    # gradient flows through the background
+    if 'omega_cdm' in values:
+        g = jax.grad(lambda v: fn({**values, 'omega_cdm': v})[0])(jnp.asarray(0.12))
+        assert np.isfinite(float(g))
+
+
+def test_getdist_readers(tmp_path):
+    names = ['omegabh2', 'omegach2', 'ns']
+    cov = np.array([[2.2e-8, -1e-8, 2e-8], [-1e-8, 1.4e-6, -3e-6], [2e-8, -3e-6, 1.7e-5]])
+    covmat = tmp_path / 'test.covmat'
+    with open(covmat, 'w') as f:
+        f.write('# ' + ' '.join(names) + '\n')
+        np.savetxt(f, cov)
+    marge = tmp_path / 'test.margestats'
+    with open(marge, 'w') as f:
+        f.write('Marginalized limits\n\nparameter  mean  sddev\n')
+        f.write('omegabh2 0.02237 0.00015\nomegach2* 0.1200 0.0012\nns 0.9649 0.0042\n')
+    rnames, rcov = read_getdist_covmat(str(covmat))
+    assert rnames == names
+    np.testing.assert_allclose(rcov, cov)
+    stats = read_getdist_margestats(str(marge))
+    assert stats['omegach2'] == (0.12, 0.0012)
+    like = BasePlanck2018GaussianLikelihood(dist_fn=str(tmp_path / 'test'))
+    assert like.pipeline is not None
+    lp = like.logpost_fn()({n: jnp.asarray(like.pipeline.params[n].value)
+                            for n in like.pipeline.varied_params.names()})[0]
+    assert np.isfinite(float(lp))
+
+
+def test_theta_star_quantities():
+    from desilike_tpu.cosmology import background as bg
+    p = bg.resolve({})
+    assert float(bg.z_star(p)) == pytest.approx(1091.9, abs=1.)
+    assert float(bg.sound_horizon(p, bg.z_star(p))) / p['h'] == pytest.approx(144.13, abs=0.05)
+    assert float(bg.theta_star_100(p)) == pytest.approx(1.0389, abs=0.002)
+
+
+def test_joint_bao_cmb_compressed():
+    """Joint BAO x compressed-CMB fit: shared Cosmology node, summed
+    likelihood, differentiable end to end (the core desilike use case the
+    round-1 review flagged as impossible)."""
+    from desilike_tpu.theories import (DampedBAOWigglesTracerPowerSpectrumMultipoles,
+                                       BAOPowerSpectrumTemplate)
+    from desilike_tpu.observables import TracerPowerSpectrumMultipolesObservable, BoxFootprint
+    from desilike_tpu.likelihoods import ObservablesGaussianLikelihood
+    template = BAOPowerSpectrumTemplate(z=0.8, apmode='qiso')
+    theory = DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0,), template=template)
+    obs = TracerPowerSpectrumMultipolesObservable(
+        data={'qiso': 1.0, 'b1': 2.0}, klim={0: (0.05, 0.2, 0.01)}, theory=theory)
+    bao = ObservablesGaussianLikelihood(observables=[obs],
+                                        footprints=[BoxFootprint(volume=2e9, nbar=5e-4)])
+    cmb = Planck2018GaussianLikelihood()
+    joint = bao + cmb
+    fn = joint.logpost_fn()
+    names = joint.pipeline.varied_params.names()
+    values = {n: jnp.asarray(joint.pipeline.params[n].value) for n in names}
+    lp, aux = fn(values)
+    assert np.isfinite(float(lp))
+    assert 'omega_cdm' in names and 'qiso' in names
+    g = jax.grad(lambda v: fn({**values, 'omega_cdm': v})[0])(jnp.asarray(0.12))
+    assert np.isfinite(float(g))
