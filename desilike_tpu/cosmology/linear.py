@@ -109,3 +109,47 @@ class NoWiggleFilter:
         ratio = pk / pk_nw_ref
         smooth = jnp.einsum('ij,...j->...i', jnp.asarray(self._smooth, dtype=pk.dtype), ratio)
         return smooth * pk_nw_ref
+
+
+# --- injected-table engine (production path) ---
+
+def pk_lin_table(p, p_fid, lnk_tab, lnpk_tab, k, z=0.):
+    """Linear pk from an injected high-accuracy table, ratio-corrected.
+
+    The production protocol (SURVEY.md §2.10): a Boltzmann code computes
+    P(k, z=0) ONCE at the fiducial cosmology; parameter response comes from
+    exact factors where the physics factorizes and the EH98 transfer RATIO
+    where it does not:
+
+        P(k, z; p) = P_tab(k)
+                     * [D(z; p) / D(0; p_fid)]^2            (exact, scale-indep growth)
+                     * Delta_R^2(k; p) / Delta_R^2(k; p_fid) (exact: A_s, n_s)
+                     * [Om_m(p_fid) / Om_m(p)]^2             (exact: Poisson factor)
+                     * [T_eh(k; p) / T_eh(k; p_fid)]^2       (shape response)
+
+    At p == p_fid this returns the injected table exactly (Boltzmann
+    accuracy); away from it only the *response* carries EH98-level error,
+    so the leading few-percent EH98 transfer bias cancels. Differentiable in
+    all parameters.
+
+    lnk_tab/lnpk_tab: ln k (h/Mpc), ln P in (Mpc/h)^3 at z=0, p_fid.
+    """
+    k = jnp.asarray(k)
+    lnk = jnp.log(k)
+    base = jnp.exp(jnp.interp(lnk, jnp.asarray(lnk_tab), jnp.asarray(lnpk_tab)))
+    growth = bg.growth_factor(p, z, normalize='md') / bg.growth_factor(p_fid, 0., normalize='md')
+    prim = primordial_curvature(p, k) / primordial_curvature(p_fid, k)
+    om = bg.Omega_m(p_fid) / bg.Omega_m(p)
+    t_ratio = eh.transfer(p, k) / eh.transfer(p_fid, k)
+    return base * growth ** 2 * prim * om ** 2 * t_ratio ** 2
+
+
+def table_nowiggle_amplitude(p_fid, lnk_tab, lnpk_tab):
+    """Scalar matching the EH98 amplitude to an injected table: the
+    no-wiggle companion of :func:`pk_lin_table` is
+    alpha * pk_lin(p, k, z, nowiggle=True) (same response algebra, smooth
+    shape from EH98, normalization from the table)."""
+    k = np.exp(np.asarray(lnk_tab))
+    sel = (k > 5e-3) & (k < 0.5)
+    ln_eh = np.log(np.asarray(pk_lin(p_fid, jnp.asarray(k[sel]), 0.)))
+    return float(np.exp(np.mean(np.asarray(lnpk_tab)[sel] - ln_eh)))

@@ -282,7 +282,21 @@ class MLPEmulatorEngine(BaseEmulatorEngine):
         self.seed = int(seed)
 
     def set_samples(self, emulator, samples=None):
+        """samples=None: QMC draws evaluated through the calculator.
+        samples=X (n, ndim): user points, evaluated through the calculator.
+        samples=(X, Y): EXTERNAL training pairs — e.g. pk tables computed
+        offline by a Boltzmann code at parameter points X (the SURVEY §2.10
+        'emulated linear pk trained from injected tables' path); Y rows must
+        be the flattened varied state in ``emulator.varied_names`` order."""
         from scipy.stats import qmc
+        if isinstance(samples, tuple) and len(samples) == 2:
+            X, Y = samples
+            self.X = np.asarray(X, dtype='f8')
+            self.Y = np.asarray(Y, dtype='f8')
+            if self.Y.shape[0] != self.X.shape[0]:
+                raise ValueError('X and Y must have the same number of rows')
+            self._samples_ready = True
+            return
         if samples is None:
             d = len(emulator.names)
             u = qmc.Sobol(d, seed=self.seed).random(self.nsamples)

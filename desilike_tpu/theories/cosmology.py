@@ -58,12 +58,23 @@ class Cosmology(Calculator):
             params[name] = cfg
         return params
 
-    def initialize(self, fiducial=None, fixed=True, engine='eh98'):
+    def initialize(self, fiducial=None, fixed=True, engine='eh98', pk_table=None):
         base = dict(bg.DEFAULT_PARAMS)
         if fiducial:
             base.update(fiducial)
         self.fiducial_values = base
         self.engine = str(engine)
+        if self.engine not in ('eh98', 'table'):
+            raise ValueError("engine must be 'eh98' (approximate, self-contained) or "
+                             "'table' (injected Boltzmann pk, production path)")
+        if self.engine == 'table':
+            if pk_table is None:
+                raise ValueError("engine='table' needs pk_table=(k, pk) at z=0 from a "
+                                 'Boltzmann code at the fiducial cosmology')
+            ktab, pktab = (np.asarray(v, dtype='f8') for v in pk_table)
+            self._lnk_tab, self._lnpk_tab = np.log(ktab), np.log(pktab)
+            self._p_fid = bg.resolve(dict(base))
+            self._alpha_nw = lin.table_nowiggle_amplitude(self._p_fid, self._lnk_tab, self._lnpk_tab)
 
     def calculate(self, **params):
         p = dict(self.fiducial_values)
@@ -100,12 +111,21 @@ class Cosmology(Calculator):
         return bg.growth_factor(self.p, z)
 
     def pk_dd(self, k, z):
+        if self.engine == 'table':
+            return lin.pk_lin_table(self.p, self._p_fid, self._lnk_tab, self._lnpk_tab, k, z)
         return lin.pk_lin(self.p, k, z)
 
     def pk_dd_now(self, k, z):
+        if self.engine == 'table':
+            # same response algebra as pk_lin_table; smooth EH98 shape scaled
+            # to the injected table's normalization
+            return self._alpha_nw * lin.pk_lin(self.p, k, z, nowiggle=True)
         return lin.pk_lin(self.p, k, z, nowiggle=True)
 
     def sigma_r(self, r, z=0.):
+        if self.engine == 'table':
+            return lin.sigma_r(self.p, r, z, pk_func=lambda k: lin.pk_lin_table(
+                self.p, self._p_fid, self._lnk_tab, self._lnpk_tab, k, z))
         return lin.sigma_r(self.p, r, z)
 
     def sigma8(self, z=0.):

@@ -273,8 +273,10 @@ class DirectPowerSpectrumTemplate(BasePowerSpectrumTemplate):
     (reference :205). Fully differentiable through the EH98 backend."""
 
     def initialize(self, k=None, z=1., fiducial=None, with_now='peakaverage',
-                   only_now=False, eta=1. / 3., varied=('h', 'omega_cdm', 'omega_b', 'logA', 'n_s')):
-        self.cosmo = Cosmology(fiducial=fiducial if isinstance(fiducial, dict) else None)
+                   only_now=False, eta=1. / 3., varied=('h', 'omega_cdm', 'omega_b', 'logA', 'n_s'),
+                   engine='eh98', pk_table=None):
+        self.cosmo = Cosmology(fiducial=fiducial if isinstance(fiducial, dict) else None,
+                               engine=engine, pk_table=pk_table)
         for name in varied:
             self.cosmo.init.params.set(_direct_param(name))
         # the AP effect shares this cosmology node (passed via init so it
@@ -286,14 +288,14 @@ class DirectPowerSpectrumTemplate(BasePowerSpectrumTemplate):
 
     def calculate(self, **params):
         p = self.cosmo.p
-        self.pk_dd = lin.pk_lin(p, self.k, self.z)
+        self.pk_dd = self.cosmo.pk_dd(self.k, self.z)
         self.f = bg.growth_rate(p, self.z)
         self.f0 = self.f
         self.fk = jnp.full(self.k.shape, self.f)
-        self.sigma8 = lin.sigma_r(p, 8., self.z)
+        self.sigma8 = self.cosmo.sigma_r(8., self.z)
         self.fsigma8 = self.f * self.sigma8
         if self.with_now:
-            pknw_shape = lin.pk_lin(p, self.k, self.z, nowiggle=True)
+            pknw_shape = self.cosmo.pk_dd_now(self.k, self.z)
             self.pknow_dd = self._filter(self.pk_dd, pknw_shape)
         if self.only_now:
             self.pk_dd = self.pknow_dd
