@@ -212,6 +212,9 @@ class FlexibleBAOWigglesPowerSpectrumMultipoles(BaseBAOWigglesPowerSpectrumMulti
     def initialize(self, *args, kp=None, kernel='tsc', **kwargs):
         super().initialize(*args, **kwargs)
         self.kernel = str(kernel)
+        if kp is None:
+            # rs_drag_fid is set by the template's initialize
+            self.template.runtime_info.initialize()
         self.kp = 2. * np.pi / self.rs_drag_fid if kp is None else float(kp)
         names = [p.basename for p in self.params if re.match(r'ml(\d+)_(-?\d+)', p.basename)]
         self._wiggle_orders = {}
