@@ -16,6 +16,8 @@ from .full_shape import (KaiserPowerSpectrumMultipoles, KaiserTracerPowerSpectru
                          EFTLikeKaiserTracerPowerSpectrumMultipoles, KaiserTracerCorrelationFunctionMultipoles,
                          EFTLikeKaiserTracerCorrelationFunctionMultipoles, SimpleTracerPowerSpectrumMultipoles)
 from .ept import EPTTracerPowerSpectrumMultipoles, EPTTracerCorrelationFunctionMultipoles
+from .tns import (TNSTracerPowerSpectrumMultipoles, EFTLikeTNSTracerPowerSpectrumMultipoles,
+                  TNSTracerCorrelationFunctionMultipoles, EFTLikeTNSTracerCorrelationFunctionMultipoles)
 from .extractors import BAOExtractor, StandardPowerSpectrumExtractor, ShapeFitPowerSpectrumExtractor
 from .png import PNGTracerPowerSpectrumMultipoles
 from .bispectrum import TreeLevelBispectrumMultipoles

@@ -21,7 +21,7 @@ K = np.linspace(0.02, 0.3, 29)
 VALUES = {'qpar': 1.02, 'qper': 0.98, 'b1': 1.8, 'sigmapar': 9., 'sigmaper': 6., 'sigmas': 2.,
           'dbeta': 1.1, 'df': 1.05, 'dm': 0.02, 'sn0': 500., 'ml0_0': 1., 'ml2_1': 0.5,
           'ct0_2': 10., 'ct2_2': 5., 'sn2': 20., 'fnl_loc': 10., 'p': 1.,
-          'b2': 0.5, 'bs': -0.2, 'alpha0': 10., 'alpha2': 5.}
+          'b2': 0.5, 'bs': -0.2, 'alpha0': 10., 'alpha2': 5., 'sigmav': 4.}
 
 
 def build(name):
@@ -48,6 +48,11 @@ def build(name):
     if name == 'ept':
         return EPTTracerPowerSpectrumMultipoles(
             ells=(0, 2), k=K, template=ShapeFitPowerSpectrumTemplate(z=0.8)), 'power'
+    if name == 'tns':
+        from desilike_tpu.theories import TNSTracerPowerSpectrumMultipoles
+        return TNSTracerPowerSpectrumMultipoles(
+            ells=(0, 2), k=K, template=ShapeFitPowerSpectrumTemplate(z=0.8),
+            loop_method='quadrature'), 'power'
     if name == 'damped_bao_xi':
         return DampedBAOWigglesTracerCorrelationFunctionMultipoles(
             ells=(0, 2), s=np.linspace(40., 140., 26), template=BAOPowerSpectrumTemplate(z=0.8)), 'corr'
@@ -58,7 +63,7 @@ def build(name):
 
 FAST = ['damped_bao', 'simple_bao', 'resummed_bao', 'flexible_bao', 'kaiser',
         'eft_kaiser', 'png', 'damped_bao_xi', 'bispectrum']
-SLOW = ['ept']
+SLOW = ['ept', 'tns']
 
 
 @pytest.mark.parametrize('name', FAST)
