@@ -32,11 +32,45 @@ class TracerPowerSpectrumMultipolesObservable(Calculator):
 
     _state_attrs = ['flattheory']
 
+    @staticmethod
+    def _is_external(obj):
+        """Measured-data formats: paths (incl. glob patterns), pypower-style
+        objects, state dicts (see interop.read_power_multipoles)."""
+        from ..interop import is_path
+        if is_path(obj):
+            return True
+        if isinstance(obj, dict):
+            return 'power' in obj or 'power_nonorm' in obj
+        return (not isinstance(obj, (int, float, np.ndarray))
+                and hasattr(obj, 'power') and hasattr(obj, 'ells'))
+
     def initialize(self, data=None, covariance=None, klim=None, k=None, ells=None,
-                   wmatrix=None, kinlim=None, shotnoise=0., theory=None):
+                   wmatrix=None, kinlim=None, kin=None, kinrebin=None, ellsin=None,
+                   shotnoise=None, theory=None):
+        from ..interop import load_power_spectrum_data
+        from ..utils import is_sequence
+
+        loaded_data = loaded_mocks = None
+        klim_select = klim  # the selection applied to every external input
+        if data is not None and (self._is_external(data) or
+                                 (is_sequence(data) and len(data) and self._is_external(data[0]))):
+            loaded_data = load_power_spectrum_data(data, klim=klim_select)
+            k, ells, klim = loaded_data['k'], loaded_data['ells'], None
+            if shotnoise is None:
+                shotnoise = loaded_data['shotnoise']
+        if covariance is not None and is_sequence(covariance) and len(covariance) \
+                and self._is_external(covariance[0]):
+            loaded_mocks = load_power_spectrum_data(list(covariance), klim=klim_select)
+            if loaded_data is None:
+                k, ells, klim = loaded_mocks['k'], loaded_mocks['ells'], None
+            if shotnoise is None:
+                shotnoise = loaded_mocks['shotnoise']
+            covariance = loaded_mocks['list_y']
+
         self.wmatrix = WindowedPowerSpectrumMultipoles(
             klim=klim, k=k, ells=ells, wmatrix=wmatrix, kinlim=kinlim,
-            shotnoise=shotnoise, theory=theory)
+            kin=kin, kinrebin=kinrebin, ellsin=ellsin,
+            shotnoise=float(shotnoise or 0.), theory=theory)
         self.wmatrix.runtime_info.initialize()
         self.mocks = None
         self._covariance_input = None
@@ -46,7 +80,7 @@ class TracerPowerSpectrumMultipolesObservable(Calculator):
             self._covariance_input = np.cov(np.array(self.mocks), rowvar=False, ddof=1)
         elif covariance is not None:
             self._covariance_input = np.atleast_2d(np.asarray(covariance, dtype='f8'))
-        self._load_data(data)
+        self._load_data(loaded_data['flatdata'] if loaded_data is not None else data)
 
     def _load_data(self, data):
         if data is None:

@@ -92,11 +92,52 @@ class WindowedPowerSpectrumMultipoles(Calculator):
     """
 
     def initialize(self, klim=None, k=None, ells=None, wmatrix=None, theory=None,
+                   kin=None, kinrebin=None, ellsin=None,
                    kinlim=None, shotnoise=0., fiber_collisions=None, systematic_templates=None):
         if theory is None:
             from ..theories.full_shape import KaiserTracerPowerSpectrumMultipoles
             theory = KaiserTracerPowerSpectrumMultipoles()
         self.theory = theory
+        self._klim_input = dict(klim) if klim is not None else None
+        self._wshotnoise = None
+
+        # external window-matrix formats (pypower BaseMatrix-style objects,
+        # their .npy state dicts, or our canonical dict): the matrix defines
+        # the output k grids (rebinned/sliced to klim) and the input theory
+        # grid (reference window.py:356-426)
+        from ..interop import is_path as _is_path
+        external = wmatrix is not None and (
+            _is_path(wmatrix)
+            or (isinstance(wmatrix, dict) and ('matrix' in wmatrix or 'value' in wmatrix))
+            or (not isinstance(wmatrix, (dict, tuple, list)) and hasattr(wmatrix, 'value')))
+        if external:
+            from ..interop import read_window_matrix
+            if klim is not None:
+                out_ells = tuple(sorted(klim.keys()))
+            elif ells is not None:
+                out_ells = tuple(ells)
+            else:
+                raise ValueError('pass klim= or ells= with an external window matrix')
+            kout = None
+            if k is not None:
+                # a measured data grid fixes the output bins: the matrix is
+                # rebinned/sliced to match it exactly
+                kout = [np.asarray(kk, dtype='f8') for kk in (k if np.ndim(k[0]) else [k] * len(out_ells))]
+            self.kin, self.wmatrix, self.k, self.ellsin, self._wshotnoise = read_window_matrix(
+                wmatrix, ells=out_ells, klim=klim, kout=kout, kin=kin, kinrebin=kinrebin,
+                kinlim=kinlim, ellsin=ellsin)
+            self.ells = out_ells
+            self.kedges = []
+            for kk in self.k:
+                edges = np.concatenate([[kk[0] - (kk[1] - kk[0]) / 2.],
+                                        (kk[1:] + kk[:-1]) / 2.,
+                                        [kk[-1] + (kk[-1] - kk[-2]) / 2.]])
+                self.kedges.append(np.column_stack([edges[:-1], edges[1:]]))
+            self.shotnoise = float(shotnoise)
+            self.theory.init.update(k=self.kin, ells=self.ellsin)
+            return
+
+        self.ellsin = None  # set to self.ells below
 
         # resolve output grids
         if klim is not None:
@@ -125,6 +166,7 @@ class WindowedPowerSpectrumMultipoles(Calculator):
 
         self.shotnoise = float(shotnoise)
         self._set_matrix(wmatrix, kinlim)
+        self.ellsin = self.ells
         self.theory.init.update(k=self.kin, ells=self.ells)
 
     def _set_matrix(self, wmatrix, kinlim):
@@ -156,18 +198,30 @@ class WindowedPowerSpectrumMultipoles(Calculator):
 
     def calculate(self, **params):
         theory = self.theory.power
-        has0 = 0 in self.ells
-        i0 = self.ells.index(0) if has0 else 0
+        if self._wshotnoise is not None:
+            # measured window response to a constant (shot-noise) input
+            # (reference wshotnoise, window.py:445-457): convolve the bare
+            # theory, then subtract sn * (delta_l0 - Wsn) from the output
+            flat = theory.reshape(-1)
+            self.flatpower = jnp.asarray(self.wmatrix, dtype=flat.dtype) @ flat
+            if self.shotnoise:
+                base = np.concatenate([np.full(len(kk), float(ell == 0))
+                                       for ell, kk in zip(self.ells, self.k)])
+                self.flatpower = self.flatpower - self.shotnoise * jnp.asarray(base - self._wshotnoise)
+            return
+        has0 = 0 in self.ellsin
+        i0 = self.ellsin.index(0) if has0 else 0
         if self.shotnoise and has0:
             # add shot noise to the monopole row (ells may come unsorted
             # through the k=/ells= branch: do NOT assume the monopole is row 0)
             theory = theory.at[i0].add(self.shotnoise)
         flat = theory.reshape(-1)
         self.flatpower = jnp.asarray(self.wmatrix, dtype=flat.dtype) @ flat
-        if self.shotnoise and has0:
+        if self.shotnoise and 0 in self.ells:
             # subtract shot noise from the windowed monopole block
-            start = sum(len(self.k[i]) for i in range(i0))
-            n0 = len(self.k[i0])
+            j0 = self.ells.index(0)
+            start = sum(len(self.k[i]) for i in range(j0))
+            n0 = len(self.k[j0])
             offset = jnp.zeros_like(self.flatpower).at[start:start + n0].add(self.shotnoise)
             self.flatpower = self.flatpower - offset
 
