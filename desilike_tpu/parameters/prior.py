@@ -128,6 +128,33 @@ class Prior(BaseClass):
             return lo * (hi / lo) ** u
         raise ValueError(self.dist)
 
+    def ppf_jax(self, u):
+        """Percent-point function, jit/vmap-safe (nested-sampling prior
+        transform runs on device inside the constrained-sampling kernel).
+        Truncation constants are folded in host-side at build time."""
+        from jax.scipy.special import ndtri
+        u = jnp.asarray(u)
+        lo, hi = self.limits
+        if self.dist == 'uniform':
+            if not np.isfinite([lo, hi]).all():
+                raise ValueError('cannot prior-transform an improper uniform prior')
+            return lo + (hi - lo) * u
+        if self.dist == 'norm':
+            a = stats.norm.cdf((lo - self.loc) / self.scale)
+            b = stats.norm.cdf((hi - self.loc) / self.scale)
+            up = a + (b - a) * u
+            # clip away exact 0/1 so ndtri stays finite under float roundoff
+            up = jnp.clip(up, 1e-15, 1. - 1e-15)
+            return self.loc + self.scale * ndtri(up)
+        if self.dist == 'expon':
+            a = stats.expon.cdf(lo, loc=self.loc, scale=self.scale) if np.isfinite(lo) else 0.
+            b = stats.expon.cdf(hi, loc=self.loc, scale=self.scale) if np.isfinite(hi) else 1.
+            up = a + (b - a) * u
+            return self.loc - self.scale * jnp.log1p(-jnp.clip(up, 0., 1. - 1e-15))
+        if self.dist == 'loguniform':
+            return lo * (hi / lo) ** u
+        raise ValueError(self.dist)
+
     def ppf(self, u):
         """Percent-point function (host-side numpy; used by nested samplers)."""
         u = np.asarray(u)
@@ -138,7 +165,9 @@ class Prior(BaseClass):
             a, b = (lo - self.loc) / self.scale, (hi - self.loc) / self.scale
             return stats.truncnorm.ppf(u, a, b, loc=self.loc, scale=self.scale)
         if self.dist == 'expon':
-            return stats.expon.ppf(u, loc=self.loc, scale=self.scale)
+            a = stats.expon.cdf(lo, loc=self.loc, scale=self.scale) if np.isfinite(lo) else 0.
+            b = stats.expon.cdf(hi, loc=self.loc, scale=self.scale) if np.isfinite(hi) else 1.
+            return stats.expon.ppf(a + (b - a) * u, loc=self.loc, scale=self.scale)
         if self.dist == 'loguniform':
             return lo * (hi / lo) ** u
         raise ValueError(self.dist)

@@ -4,3 +4,4 @@ from .mcmc import MCMCSampler
 from .nuts import NUTSSampler
 from .deterministic import GridSampler, QMCSampler, ImportanceSampler
 from .hmc import HMCSampler, MCLMCSampler
+from .nested import NestedSampler
