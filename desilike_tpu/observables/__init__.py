@@ -8,6 +8,9 @@ from .compression import (BaseCompressionObservable, BAOCompressionObservable,
                           ShapeFitCompressionObservable, StandardCompressionObservable)
 from .fiber_collisions import (TopHatFiberCollisionsPowerSpectrumMultipoles,
                                FiberCollisionsPowerSpectrumMultipoles,
-                               SystematicTemplatePowerSpectrumMultipoles)
+                               SystematicTemplatePowerSpectrumMultipoles,
+                               TopHatFiberCollisionsCorrelationFunctionMultipoles,
+                               FiberCollisionsCorrelationFunctionMultipoles,
+                               SystematicTemplateCorrelationFunctionMultipoles)
 from .bispectrum import TracerBispectrumMultipolesObservable
 from .types import ObservableArray, ObservableCovariance

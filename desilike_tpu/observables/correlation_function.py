@@ -24,8 +24,11 @@ class TracerCorrelationFunctionMultipolesObservable(Calculator):
 
     _state_attrs = ['flattheory']
 
-    def initialize(self, data=None, covariance=None, slim=None, s=None, ells=None, theory=None):
-        self.wmatrix = WindowedCorrelationFunctionMultipoles(slim=slim, s=s, ells=ells, theory=theory)
+    def initialize(self, data=None, covariance=None, slim=None, s=None, ells=None, theory=None,
+                   fiber_collisions=None, systematic_templates=None):
+        self.wmatrix = WindowedCorrelationFunctionMultipoles(
+            slim=slim, s=s, ells=ells, theory=theory,
+            fiber_collisions=fiber_collisions, systematic_templates=systematic_templates)
         self.wmatrix.runtime_info.initialize()
         self.mocks = None
         self._covariance_input = None

@@ -183,6 +183,146 @@ class FiberCollisionsPowerSpectrumMultipoles(BaseFiberCollisionsPowerSpectrumMul
         self.kernel_correlated = kernel_corr
 
 
+def _legendre_product_integral(ellout, ellin, mu_min):
+    r"""\int_{mu_min < |mu| < 1} P_ellout(mu) P_ellin(mu) dmu, vectorized over
+    an array of lower bounds (the mu region excised by a transverse-separation
+    cut s_perp < Dfc at pair separation s)."""
+    integ = (_legendre_poly(ellout) * _legendre_poly(ellin)).integ()
+    mu_min = np.asarray(mu_min, dtype='f8')
+    return (integ(1.) - integ(mu_min)) + (integ(-mu_min) - integ(-1.))
+
+
+class BaseFiberCollisionsCorrelationFunctionMultipoles(Calculator):
+    r"""xi_l(s) corrected for fiber collisions (reference window.py:1052).
+
+    Configuration space is where the correction is cheapest: the collision
+    cut s_perp = s sqrt(1-mu^2) < Dfc is local in s, so the correlated kernel
+    is diagonal — (nell_out, nell_in, ns) weights, one einsum per eval."""
+
+    _state_attrs = ['corr']
+
+    def initialize(self, s=None, ells=(0, 2, 4), theory=None, with_uncorrelated=True, **kwargs):
+        self.ells = tuple(ells)
+        if theory is None:
+            from ..theories.full_shape import KaiserTracerCorrelationFunctionMultipoles
+            theory = KaiserTracerCorrelationFunctionMultipoles()
+        self.theory = theory
+        if s is not None:
+            self.theory.init.update(s=s)
+        if kwargs:
+            self.theory.init.update(**kwargs)
+        self.theory.runtime_info.initialize()
+        self.s = np.asarray(self.theory.s, dtype='f8')
+        self.ellsin = tuple(self.theory.ells)
+        self.with_uncorrelated = bool(with_uncorrelated)
+
+    @property
+    def sin(self):
+        return self.s
+
+    def calculate(self, **params):
+        corr = self.theory.corr
+        out = jnp.einsum('abj,bj->aj', jnp.asarray(self.kernel_correlated, dtype=corr.dtype), corr)
+        if self.with_uncorrelated:
+            out = out + jnp.asarray(self.kernel_uncorrelated, dtype=corr.dtype)
+        self.corr = out
+
+    def get(self):
+        return self.corr
+
+
+class TopHatFiberCollisionsCorrelationFunctionMultipoles(BaseFiberCollisionsCorrelationFunctionMultipoles):
+    r"""Hahn et al. 2016 (arXiv:1609.01714) top-hat fiber collisions on xi_l(s)
+    (reference window.py:1192): pairs with transverse separation below ``Dfc``
+    are lost with probability ``fs``.
+
+    Parameters
+    ----------
+    fs : float
+        Fraction of pairs lost below the collision scale.
+    Dfc : float
+        Fiber collision transverse scale [Mpc/h].
+    mu_range_cut : bool
+        Normalize the Legendre projection by the surviving mu range (for
+        estimators whose R1R2 counts are also cut by the top-hat).
+    """
+
+    def initialize(self, *args, fs=1., Dfc=0., mu_range_cut=False, **kwargs):
+        super().initialize(*args, **kwargs)
+        self.fs, self.Dfc = float(fs), float(Dfc)
+        self.mu_range_cut = bool(mu_range_cut)
+        # |mu| above which the pair falls inside the collision cylinder
+        mu_min = np.sqrt(np.clip(1. - (self.Dfc / self.s) ** 2, 0., None))
+        self.kernel_uncorrelated = -np.array(
+            [(2 * ell + 1.) / 2. * self.fs * _legendre_product_integral(ell, 0, mu_min)
+             for ell in self.ells])
+        kernel = np.zeros((len(self.ells), len(self.ellsin), len(self.s)))
+        for io, ellout in enumerate(self.ells):
+            for ii, ellin in enumerate(self.ellsin):
+                fll = (2 * ellout + 1.) / 2. * self.fs * _legendre_product_integral(ellout, ellin, mu_min)
+                diag = (ellin == ellout) * 1. - fll
+                if self.mu_range_cut:
+                    diag = np.where(mu_min > 0., diag / np.where(mu_min > 0., mu_min, 1.), diag)
+                kernel[io, ii] = diag
+        self.kernel_correlated = kernel
+
+
+class FiberCollisionsCorrelationFunctionMultipoles(BaseFiberCollisionsCorrelationFunctionMultipoles):
+    r"""General-kernel (sum of top-hats) fiber collisions on xi_l(s)
+    (reference window.py:1132).
+
+    Parameters
+    ----------
+    sep : array
+        Transverse separations for ``kernel``.
+    kernel : array
+        Fraction of pairs lost at each separation.
+    """
+
+    def initialize(self, *args, sep=None, kernel=None, **kwargs):
+        super().initialize(*args, **kwargs)
+        sep = np.asarray(sep, dtype='f8')
+        kernel = np.asarray(kernel, dtype='f8')
+        if kernel.size == 1:
+            kernel = np.full_like(sep, kernel.flat[0])
+        if sep[0] > 0.:
+            sep = np.insert(sep, 0, 0.)
+            kernel = np.insert(kernel, 0, kernel[0])
+        self.sep, self.kernel = sep, kernel
+
+        def cut_integral(ellout, ellin):
+            # piecewise-constant kernel: each segment [x0, x1] removes the
+            # mu band mu_min(x1) < |mu| < mu_min(x0) at separation s
+            total = 0.
+            for iseg in range(len(sep) - 1):
+                x0, x1 = sep[iseg], sep[iseg + 1]
+                yc = 0.5 * (kernel[iseg] + kernel[iseg + 1])
+                m0 = np.sqrt(np.clip(1. - (x0 / self.s) ** 2, 0., None))
+                m1 = np.sqrt(np.clip(1. - (x1 / self.s) ** 2, 0., None))
+                total = total + yc * (_legendre_product_integral(ellout, ellin, m1)
+                                      - _legendre_product_integral(ellout, ellin, m0))
+            return total
+
+        self.kernel_uncorrelated = -np.array(
+            [(2 * ell + 1.) / 2. * cut_integral(ell, 0) for ell in self.ells])
+        kern = np.zeros((len(self.ells), len(self.ellsin), len(self.s)))
+        for io, ellout in enumerate(self.ells):
+            for ii, ellin in enumerate(self.ellsin):
+                kern[io, ii] = (ellin == ellout) * 1. - (2 * ellout + 1.) / 2. * cut_integral(ellout, ellin)
+        self.kernel_correlated = kern
+
+    def to_tophat(self):
+        """Effective (fs, Dfc) top-hat equivalent (reference window.py:1186),
+        by moment matching: Dfc = 2 <x>_K and fs = (integral of K) / Dfc, which
+        recover (fs, Dfc) exactly when the kernel IS a top-hat."""
+        Dfc = 2. * np.trapezoid(self.sep * self.kernel, x=self.sep) / np.trapezoid(self.kernel, x=self.sep)
+        fs = np.trapezoid(self.kernel, x=self.sep) / Dfc
+        tophat = TopHatFiberCollisionsCorrelationFunctionMultipoles(
+            s=self.s, ells=self.ells, theory=self.theory, fs=fs, Dfc=Dfc)
+        tophat.runtime_info.initialize()
+        return tophat
+
+
 class SystematicTemplatePowerSpectrumMultipoles(Calculator):
     """Additive systematic templates with linear amplitudes
     (reference window.py:1253-1433): power += sum_i a_i T_i(ell, k).
@@ -223,3 +363,44 @@ class SystematicTemplatePowerSpectrumMultipoles(Calculator):
 
     def get(self):
         return self.power
+
+
+class SystematicTemplateCorrelationFunctionMultipoles(Calculator):
+    """Additive systematic templates on xi_l(s) with linear amplitudes
+    (reference window.py:1363): corr += sum_i a_i T_i(ell, s).
+    Exactly marginalizable ('.marg' the s* parameters)."""
+
+    _static_linear_solved = ('syst_*',)
+    _state_attrs = ['corr']
+
+    @staticmethod
+    def _params(init):
+        templates = init.get('templates', {})
+        n = len(templates) if hasattr(templates, '__len__') else 0
+        return {'syst_{:d}'.format(i): dict(value=0., prior=dict(dist='norm', loc=0., scale=10.),
+                                            ref=dict(limits=[-1e-3, 1e-3]),
+                                            latex='s_{{{:d}}}'.format(i))
+                for i in range(n)}
+
+    def initialize(self, templates=None, theory=None, s=None, ells=(0, 2)):
+        if theory is None:
+            from ..theories.full_shape import KaiserTracerCorrelationFunctionMultipoles
+            theory = KaiserTracerCorrelationFunctionMultipoles()
+        self.theory = theory
+        if s is not None:
+            self.theory.init.update(s=s, ells=ells)
+        self.theory.runtime_info.initialize()
+        self.s = np.asarray(self.theory.s)
+        self.ells = tuple(self.theory.ells)
+        self.templates = np.array([np.asarray(t, dtype='f8') for t in (templates or [])])
+
+    def calculate(self, **params):
+        corr = self.theory.corr
+        if len(self.templates):
+            amps = jnp.stack([jnp.asarray(params.get('syst_{:d}'.format(i), 0.))
+                              for i in range(len(self.templates))])
+            corr = corr + jnp.einsum('i,ils->ls', amps, jnp.asarray(self.templates, dtype=corr.dtype))
+        self.corr = corr
+
+    def get(self):
+        return self.corr

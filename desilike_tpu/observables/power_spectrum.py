@@ -46,7 +46,7 @@ class TracerPowerSpectrumMultipolesObservable(Calculator):
 
     def initialize(self, data=None, covariance=None, klim=None, k=None, ells=None,
                    wmatrix=None, kinlim=None, kin=None, kinrebin=None, ellsin=None,
-                   shotnoise=None, theory=None):
+                   shotnoise=None, theory=None, fiber_collisions=None, systematic_templates=None):
         from ..interop import load_power_spectrum_data
         from ..utils import is_sequence
 
@@ -70,7 +70,8 @@ class TracerPowerSpectrumMultipolesObservable(Calculator):
         self.wmatrix = WindowedPowerSpectrumMultipoles(
             klim=klim, k=k, ells=ells, wmatrix=wmatrix, kinlim=kinlim,
             kin=kin, kinrebin=kinrebin, ellsin=ellsin,
-            shotnoise=float(shotnoise or 0.), theory=theory)
+            shotnoise=float(shotnoise or 0.), theory=theory,
+            fiber_collisions=fiber_collisions, systematic_templates=systematic_templates)
         self.wmatrix.runtime_info.initialize()
         self.mocks = None
         self._covariance_input = None

@@ -7,10 +7,64 @@ float64 from (a) k-masking, (b) bin-integration in the continuous limit, or
 (c) a user-provided matrix with input grid.
 """
 
+from collections.abc import Mapping
+
 import numpy as np
 import jax.numpy as jnp
 
 from ..core import Calculator
+
+
+def _template_names(spec):
+    """Parameter names for a systematic-templates spec (dict keys, or
+    generated syst_i for sequences / a single template)."""
+    if spec is None:
+        return []
+    if isinstance(spec, Mapping):
+        return [str(name) for name in spec.keys()]
+    if callable(spec) or getattr(spec, 'ndim', None) is not None:
+        spec = [spec]
+    return ['syst_{:d}'.format(i) for i in range(len(spec))]
+
+
+def _template_params(init):
+    """_params hook shared by the windowed observables: one linear amplitude
+    per template (post-window, reference window.py:1253-1433)."""
+    names = _template_names(init.get('systematic_templates', None))
+    return {name: dict(value=0., prior=dict(dist='norm', loc=0., scale=10.),
+                       ref=dict(limits=[-1e-3, 1e-3]),
+                       latex='s_{{{}}}'.format(i))
+            for i, name in enumerate(names)}
+
+
+def _flat_templates(spec, x_list):
+    """Evaluate a templates spec to a static (ntemplates, nflat) matrix on
+    the flat output data vector: callables are evaluated per multipole grid
+    and concatenated; arrays are flat vectors or per-ell stacks."""
+    nflat = sum(len(x) for x in x_list)
+    if isinstance(spec, Mapping):
+        values = list(spec.values())
+    elif callable(spec) or getattr(spec, 'ndim', None) is not None:
+        values = [spec]
+    else:
+        values = list(spec)
+    rows = []
+    for t in values:
+        if callable(t):
+            flat = np.concatenate([np.asarray(t(np.asarray(x)), dtype='f8') for x in x_list])
+        else:
+            t = np.asarray(t, dtype='f8')
+            if t.ndim == 1 and t.size == nflat:
+                flat = t
+            elif t.ndim == 2 and t.shape[0] == len(x_list):
+                flat = np.concatenate([np.asarray(row)[:len(x)] for row, x in zip(t, x_list)])
+            else:
+                raise ValueError('template shape {} does not match flat data size {} '
+                                 '(per-ell sizes {})'.format(t.shape, nflat, [len(x) for x in x_list]))
+        if flat.size != nflat:
+            raise ValueError('template size {} != flat data size {}'.format(flat.size, nflat))
+        rows.append(flat)
+    return np.stack(rows)
 
 
 def matrix_lininterp(xout, xin):
@@ -89,7 +143,22 @@ class WindowedPowerSpectrumMultipoles(Calculator):
     theory : theory multipoles calculator
     shotnoise : float
         Shot noise subtracted at ell=0 (added to theory before windowing).
+    fiber_collisions : fiber-collision calculator, optional
+        Correction inserted between theory and window; its static kernel is
+        folded INTO the window matrix at initialization (reference
+        window.py:428-438), so the per-eval cost is unchanged.
+    systematic_templates : templates spec, optional
+        Additive post-window templates with linear amplitude parameters
+        (dict name -> template, sequence, callable(k), flat or per-ell
+        arrays; reference window.py:1253-1361). Amplitudes are exactly
+        marginalizable.
     """
+
+    _static_linear_solved = ('syst_*',)
+
+    @staticmethod
+    def _params(init):
+        return _template_params(init)
 
     def initialize(self, klim=None, k=None, ells=None, wmatrix=None, theory=None,
                    kin=None, kinrebin=None, ellsin=None,
@@ -135,6 +204,7 @@ class WindowedPowerSpectrumMultipoles(Calculator):
                 self.kedges.append(np.column_stack([edges[:-1], edges[1:]]))
             self.shotnoise = float(shotnoise)
             self.theory.init.update(k=self.kin, ells=self.ellsin)
+            self._compose(fiber_collisions, systematic_templates)
             return
 
         self.ellsin = None  # set to self.ells below
@@ -168,6 +238,36 @@ class WindowedPowerSpectrumMultipoles(Calculator):
         self._set_matrix(wmatrix, kinlim)
         self.ellsin = self.ells
         self.theory.init.update(k=self.kin, ells=self.ells)
+        self._compose(fiber_collisions, systematic_templates)
+
+    def _compose(self, fiber_collisions, systematic_templates):
+        """Fold a fiber-collision kernel into the window matrix (static
+        matrix product + additive offset) and prepare post-window systematic
+        templates; per-eval cost stays one matmul."""
+        self._offset = None
+        if fiber_collisions is not None:
+            fiber_collisions.init.update(k=self.kin, ells=self.ellsin, theory=self.theory)
+            fiber_collisions.runtime_info.initialize()
+            K = np.block([[np.asarray(fiber_collisions.kernel_correlated[io, ii])
+                           for ii in range(len(fiber_collisions.ellsin))]
+                          for io in range(len(fiber_collisions.ells))])
+            if fiber_collisions.with_uncorrelated:
+                self._offset = np.asarray(self.wmatrix) @ fiber_collisions.kernel_uncorrelated.reshape(-1)
+            self.wmatrix = np.asarray(self.wmatrix) @ K
+            self.kin = np.asarray(fiber_collisions.kin)
+            self.ellsin = tuple(fiber_collisions.ellsin)
+            self.theory.init.update(k=self.kin, ells=self.ellsin)
+        self._template_param_names = _template_names(systematic_templates)
+        self._templates = (_flat_templates(systematic_templates, self.k)
+                           if self._template_param_names else None)
+
+    def _add_corrections(self, flat, params):
+        if self._offset is not None:
+            flat = flat + jnp.asarray(self._offset, dtype=flat.dtype)
+        if self._templates is not None:
+            amps = jnp.stack([jnp.asarray(params.get(name, 0.)) for name in self._template_param_names])
+            flat = flat + amps @ jnp.asarray(self._templates, dtype=flat.dtype)
+        return flat
 
     def _set_matrix(self, wmatrix, kinlim):
         if wmatrix is None:
@@ -208,6 +308,7 @@ class WindowedPowerSpectrumMultipoles(Calculator):
                 base = np.concatenate([np.full(len(kk), float(ell == 0))
                                        for ell, kk in zip(self.ells, self.k)])
                 self.flatpower = self.flatpower - self.shotnoise * jnp.asarray(base - self._wshotnoise)
+            self.flatpower = self._add_corrections(self.flatpower, params)
             return
         has0 = 0 in self.ellsin
         i0 = self.ellsin.index(0) if has0 else 0
@@ -224,6 +325,7 @@ class WindowedPowerSpectrumMultipoles(Calculator):
             n0 = len(self.k[j0])
             offset = jnp.zeros_like(self.flatpower).at[start:start + n0].add(self.shotnoise)
             self.flatpower = self.flatpower - offset
+        self.flatpower = self._add_corrections(self.flatpower, params)
 
     @property
     def power(self):
@@ -239,9 +341,22 @@ class WindowedPowerSpectrumMultipoles(Calculator):
 
 
 class WindowedCorrelationFunctionMultipoles(Calculator):
-    """Window-convolved (binned) theory xi_l(s) (reference window.py:536)."""
+    """Window-convolved (binned) theory xi_l(s) (reference window.py:536).
 
-    def initialize(self, slim=None, s=None, ells=None, theory=None):
+    ``fiber_collisions`` (a *CorrelationFunctionMultipoles collision
+    calculator) is folded into the bin-integration matrix at initialization
+    (the s-space kernel is diagonal, reference window.py:680-705);
+    ``systematic_templates`` adds post-window templates with exactly
+    marginalizable linear amplitudes (reference window.py:1363)."""
+
+    _static_linear_solved = ('syst_*',)
+
+    @staticmethod
+    def _params(init):
+        return _template_params(init)
+
+    def initialize(self, slim=None, s=None, ells=None, theory=None,
+                   fiber_collisions=None, systematic_templates=None):
         if theory is None:
             from ..theories.bao import DampedBAOWigglesTracerCorrelationFunctionMultipoles
             theory = DampedBAOWigglesTracerCorrelationFunctionMultipoles()
@@ -270,11 +385,35 @@ class WindowedCorrelationFunctionMultipoles(Calculator):
         xin, full = window_matrix_bininteg([e for e in self.sedges], resolution=3)
         self.sin = xin
         self.wmatrix = full
+        self.ellsin = self.ells
         self.theory.init.update(s=self.sin, ells=self.ells)
+
+        self._offset = None
+        if fiber_collisions is not None:
+            fiber_collisions.init.update(s=self.sin, ells=self.ellsin, theory=self.theory)
+            fiber_collisions.runtime_info.initialize()
+            # s-space collision kernels are diagonal: expand to block-diag
+            # and fold into the bin-integration matrix (one-time, host-side)
+            K = np.block([[np.diag(np.asarray(fiber_collisions.kernel_correlated[io, ii]))
+                           for ii in range(len(fiber_collisions.ellsin))]
+                          for io in range(len(fiber_collisions.ells))])
+            if fiber_collisions.with_uncorrelated:
+                self._offset = np.asarray(self.wmatrix) @ fiber_collisions.kernel_uncorrelated.reshape(-1)
+            self.wmatrix = np.asarray(self.wmatrix) @ K
+            self.ellsin = tuple(fiber_collisions.ellsin)
+            self.theory.init.update(s=self.sin, ells=self.ellsin)
+        self._template_param_names = _template_names(systematic_templates)
+        self._templates = (_flat_templates(systematic_templates, self.s)
+                           if self._template_param_names else None)
 
     def calculate(self, **params):
         flat = self.theory.corr.reshape(-1)
         self.flatcorr = jnp.asarray(self.wmatrix, dtype=flat.dtype) @ flat
+        if self._offset is not None:
+            self.flatcorr = self.flatcorr + jnp.asarray(self._offset, dtype=flat.dtype)
+        if self._templates is not None:
+            amps = jnp.stack([jnp.asarray(params.get(name, 0.)) for name in self._template_param_names])
+            self.flatcorr = self.flatcorr + amps @ jnp.asarray(self._templates, dtype=flat.dtype)
 
     @property
     def corr(self):
