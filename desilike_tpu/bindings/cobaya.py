@@ -1,8 +1,77 @@
-"""Cobaya binding generator (reference bindings/cobaya/factory.py)."""
+"""Cobaya binding generator (reference bindings/cobaya/factory.py).
+
+Host-cosmology injection (reference factory.py:18-99 + base.py:574-598):
+when the wrapped pipeline contains an ``engine='external'`` Cosmology node,
+the generated likelihood declares cobaya requirements (Hubble, distances,
+rdrag, Pk_grid, fsigma8) and injects the provider's products into the node
+each evaluation. Products flow through the compiled program as traced
+arguments (Pipeline.external_values), so the host varying the cosmology
+never retraces."""
 
 import numpy as np
 
 from .base import BaseLikelihoodGenerator
+
+
+def cobaya_requirements(like):
+    """Map the pipeline's cosmo_requires onto cobaya requirement names
+    (cobaya conventions: k in 1/Mpc, distances in Mpc)."""
+    req = like.pipeline.get_cosmo_requires()
+    if not req:
+        return {}
+    out = {}
+    bgq = req.get('background', {})
+    if 'efunc' in bgq:
+        out['Hubble'] = {'z': np.unique(np.insert(np.asarray(bgq['efunc']['z'], dtype='f8'), 0, 0.))}
+    if 'comoving_radial_distance' in bgq:
+        out['comoving_radial_distance'] = {'z': np.asarray(bgq['comoving_radial_distance']['z'], dtype='f8')}
+    if 'rs_drag' in req.get('thermodynamics', {}):
+        out['rdrag'] = None
+    fo = req.get('fourier', {})
+    if 'pk_interpolator' in fo:
+        attrs = fo['pk_interpolator']
+        # requirement k_max in 1/Mpc: k_h * h <= k_h for h <= 1, so the
+        # h-unit maximum is a safe bound (with margin for h ~ 1)
+        out['Pk_grid'] = {'z': np.asarray(attrs['z'], dtype='f8'),
+                          'k_max': 1.2 * float(np.max(attrs['k'])),
+                          'nonlinear': bool(attrs.get('non_linear', False)),
+                          'vars_pairs': [('delta_tot', 'delta_tot')]}
+    if 'fsigma8' in fo:
+        out['fsigma8'] = {'z': np.asarray(fo['fsigma8']['z'], dtype='f8')}
+    if 'sigma8_z' in fo:
+        out['sigma8_z'] = {'z': np.asarray(fo['sigma8_z']['z'], dtype='f8')}
+    return out
+
+
+def gather_cobaya_products(provider, node):
+    """Fetch the provider's products on the node's grids, converted from
+    cobaya conventions (Mpc, 1/Mpc, Mpc^3) to the framework's h-units."""
+    z = np.asarray(node.z_grid, dtype='f8')
+    H = np.asarray(provider.get_Hubble(z), dtype='f8')
+    H0 = float(np.asarray(provider.get_Hubble(np.array([0.])))[0])
+    h = H0 / 100.
+    products = {'efunc_tab': H / H0,
+                'chi_tab': np.asarray(provider.get_comoving_radial_distance(z), dtype='f8') * h,
+                'rs_drag_tab': float(provider.get_param('rdrag')) * h,
+                'fsigma8_tab': np.asarray(provider.get_fsigma8(z), dtype='f8'),
+                'sigma8_tab': np.asarray(provider.get_sigma8_z(z), dtype='f8')}
+    kmpc, zpk, pk = provider.get_Pk_grid(var_pair=('delta_tot', 'delta_tot'), nonlinear=False)
+    kh, zpk = np.asarray(kmpc, dtype='f8') / h, np.asarray(zpk, dtype='f8')
+    lnpk = np.log(np.asarray(pk, dtype='f8') * h ** 3)  # (nzpk_prov, nk_prov)
+    rows = np.empty((len(node.zpk_grid), len(node.k_grid)))
+    for i, zz in enumerate(node.zpk_grid):
+        iz = int(np.clip(np.searchsorted(zpk, zz) - 1, 0, len(zpk) - 2))
+        t = float(np.clip((zz - zpk[iz]) / (zpk[iz + 1] - zpk[iz]), 0., 1.)) if len(zpk) > 1 else 0.
+        row = (1. - t) * lnpk[iz] + t * lnpk[iz + 1]
+        rows[i] = np.interp(np.log(node.k_grid), np.log(kh), row)
+    products['pk_tab'] = np.exp(rows)
+    return products
+
+
+def inject_from_cobaya(like, provider):
+    """Inject the provider's current cosmology into every external node."""
+    for _, node in like.pipeline.external_nodes():
+        node.inject(**gather_cobaya_products(provider, node))
 
 
 class CobayaLikelihoodGenerator(BaseLikelihoodGenerator):
@@ -46,11 +115,18 @@ class CobayaLikelihoodGenerator(BaseLikelihoodGenerator):
             '    def initialize(self):\n'
             '        self._like = _get_like()\n\n'
             '    def get_requirements(self):\n'
-            '        return {{}}\n\n'
+            '        # host-cosmology products consumed by external nodes\n'
+            '        # (reference bindings/cobaya/factory.py:18-99)\n'
+            '        from desilike_tpu.bindings.cobaya import cobaya_requirements\n'
+            '        return cobaya_requirements(self._like)\n\n'
             '    def logp(self, **params_values):\n'
             '        import jax.numpy as jnp\n'
+            '        from desilike_tpu.bindings.cobaya import inject_from_cobaya\n'
             '        values = {{_NAME_MAP[k]: jnp.asarray(v) for k, v in params_values.items()\n'
             '                  if k in _NAME_MAP}}\n'
+            '        if self._like.pipeline.external_nodes():\n'
+            '            inject_from_cobaya(self._like, self.provider)\n'
+            '            values.update(self._like.pipeline.external_values())\n'
             '        lp, aux = self._like._compiled_logpost(values)\n'
             '        # cobaya applies priors itself: hand back the bare loglikelihood\n'
             '        return float(aux["loglikelihood"])\n'

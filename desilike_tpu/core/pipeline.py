@@ -89,7 +89,12 @@ class Pipeline(BaseClass):
         """Overlay user values on defaults; evaluate derived expressions."""
         full = self.input_defaults()
         for name, value in values.items():
-            if name in full:
+            if name.startswith('external:'):
+                # injected external-state arrays (host-cosmology products,
+                # see external_values): traced through the compiled program
+                # so new tables do NOT retrigger compilation
+                full[name] = value
+            elif name in full:
                 full[name] = value
             else:
                 # allow basename shortcut if unique
@@ -138,19 +143,32 @@ class Pipeline(BaseClass):
 
         Returns (root_get, derived dict of full-name -> value).
         """
-        for calc in self.calculators:
-            cvals = {}
-            for p in calc.runtime_info.params:
-                if p.derived is True or p.drop:
-                    continue
-                cvals[p.basename] = full_values[p.name]
-            calc.calculate(**cvals)
-        derived = {}
-        for calc in self.calculators:
-            for p in calc.runtime_info.params:
-                if p.derived is True and hasattr(calc, p.basename):
-                    derived[p.name] = getattr(calc, p.basename)
-        return self.root.get(), derived
+        restore = []
+        for key, value in full_values.items():
+            if key.startswith('external:'):
+                _, idx, attr = key.split(':', 2)
+                calc = self.calculators[int(idx)]
+                restore.append((calc, attr, getattr(calc, attr)))
+                setattr(calc, attr, value)
+        try:
+            for calc in self.calculators:
+                cvals = {}
+                for p in calc.runtime_info.params:
+                    if p.derived is True or p.drop:
+                        continue
+                    cvals[p.basename] = full_values[p.name]
+                calc.calculate(**cvals)
+            derived = {}
+            for calc in self.calculators:
+                for p in calc.runtime_info.params:
+                    if p.derived is True and hasattr(calc, p.basename):
+                        derived[p.name] = getattr(calc, p.basename)
+            return self.root.get(), derived
+        finally:
+            # external attrs hold host numpy state between evaluations; traced
+            # values must not leak out of the transformed scope
+            for calc, attr, original in restore:
+                setattr(calc, attr, original)
 
     def evaluate(self, values=None):
         """Eager evaluation (debug/introspection/init path): attributes on
@@ -197,6 +215,42 @@ class Pipeline(BaseClass):
         compiled = (time.perf_counter() - t0) / nrep
         return {'eager_per_calculator': eager, 'compiled_per_eval': compiled,
                 'compiled_evals_per_sec': 1. / compiled if compiled > 0 else float('inf')}
+
+    # --- external (host-cosmology) state injection ---
+
+    def external_nodes(self):
+        """Calculators carrying injectable external state (the
+        host-Boltzmann shim; reference cosmo.py:37 / base.py:574-598)."""
+        return [(i, c) for i, c in enumerate(self.calculators)
+                if getattr(c, '_external_attrs', None)]
+
+    def external_values(self):
+        """Current external-state arrays keyed for the compiled program:
+        merge into a values dict to evaluate at injected host products.
+        Arrays are traced arguments — re-injection never retraces."""
+        out = {}
+        for i, calc in self.external_nodes():
+            for attr in calc._external_attrs:
+                out['external:{}:{}'.format(i, attr)] = np.asarray(getattr(calc, attr))
+        return out
+
+    def get_cosmo_requires(self):
+        """Merged host-cosmology requirements declared by calculators
+        (reference base.py:574: section -> quantity -> arguments)."""
+        merged = {}
+        for calc in self.calculators:
+            for section, quantities in getattr(calc, 'cosmo_requires', {}).items():
+                dest = merged.setdefault(section, {})
+                for name, attrs in quantities.items():
+                    dest[name] = attrs  # grids are node-defined; last wins
+        return merged
+
+    def set_cosmo_requires(self, **products):
+        """Inject host-cosmology products into every external node
+        (reference base.py:581). Follow with ``external_values()`` when
+        evaluating through a compiled function."""
+        for _, calc in self.external_nodes():
+            calc.inject(**products)
 
     def logprior(self, values):
         """Sum of log priors of varied params at given (resolved) values."""

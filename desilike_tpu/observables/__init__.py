@@ -5,7 +5,9 @@ from .covariance import (BaseFootprint, BoxFootprint, CutskyFootprint,
                          ObservablesCovarianceMatrix, integral_legendre_product)
 from .correlation_function import TracerCorrelationFunctionMultipolesObservable
 from .compression import (BaseCompressionObservable, BAOCompressionObservable,
-                          ShapeFitCompressionObservable, StandardCompressionObservable)
+                          ShapeFitCompressionObservable, StandardCompressionObservable,
+                          WiggleSplitCompressionObservable, BandVelocityCompressionObservable,
+                          TurnOverCompressionObservable, P1DCompressionObservable)
 from .fiber_collisions import (TopHatFiberCollisionsPowerSpectrumMultipoles,
                                FiberCollisionsPowerSpectrumMultipoles,
                                SystematicTemplatePowerSpectrumMultipoles,

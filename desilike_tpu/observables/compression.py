@@ -11,7 +11,10 @@ import jax.numpy as jnp
 
 from ..core import Calculator
 from ..theories.extractors import (BAOExtractor, ShapeFitPowerSpectrumExtractor,
-                                   StandardPowerSpectrumExtractor)
+                                   StandardPowerSpectrumExtractor,
+                                   WiggleSplitPowerSpectrumExtractor,
+                                   BandVelocityPowerSpectrumExtractor,
+                                   TurnOverPowerSpectrumExtractor)
 
 
 class BaseCompressionObservable(Calculator):
@@ -30,12 +33,21 @@ class BaseCompressionObservable(Calculator):
     _extractor_cls = BAOExtractor
     _state_attrs = ['flattheory']
 
+    @classmethod
+    def _quantities_default(cls, init_kwargs):
+        return list(cls._default_quantities)
+
+    _default_quantities = ['DM_over_rd', 'DH_over_rd']
+
     def initialize(self, data=None, covariance=None, quantities=None, z=1.,
                    cosmo=None, fiducial=None, **kwargs):
         if quantities is None:
-            quantities = ['DM_over_rd', 'DH_over_rd']
+            quantities = self._quantities_default(kwargs)
         self.quantities = list(quantities)
-        self.extractor = self._extractor_cls(z=z, cosmo=cosmo, fiducial=fiducial, **kwargs)
+        kw = dict(z=z, cosmo=cosmo, **kwargs)
+        if fiducial is not None:
+            kw['fiducial'] = fiducial
+        self.extractor = self._extractor_cls(**kw)
         if isinstance(data, dict):
             data = [data[q] for q in self.quantities]
         self.flatdata = np.asarray(data, dtype='f8').ravel()
@@ -75,19 +87,52 @@ class ShapeFitCompressionObservable(BaseCompressionObservable):
     """ShapeFit compression: (DM/rd, DH/rd, df, dm) (reference compression.py)."""
 
     _extractor_cls = ShapeFitPowerSpectrumExtractor
-
-    def initialize(self, quantities=None, **kwargs):
-        if quantities is None:
-            quantities = ['DM_over_rd', 'DH_over_rd', 'df', 'dm']
-        super().initialize(quantities=quantities, **kwargs)
+    _default_quantities = ['DM_over_rd', 'DH_over_rd', 'df', 'dm']
 
 
 class StandardCompressionObservable(BaseCompressionObservable):
     """Standard RSD compression: (DM/rd, DH/rd, df)."""
 
     _extractor_cls = StandardPowerSpectrumExtractor
+    _default_quantities = ['DM_over_rd', 'DH_over_rd', 'df']
 
-    def initialize(self, quantities=None, **kwargs):
-        if quantities is None:
-            quantities = ['DM_over_rd', 'DH_over_rd', 'df']
-        super().initialize(quantities=quantities, **kwargs)
+
+class WiggleSplitCompressionObservable(BaseCompressionObservable):
+    """Wiggle-split compression: (qbao, qap, df, dm) (reference
+    compression.py:263)."""
+
+    _extractor_cls = WiggleSplitPowerSpectrumExtractor
+    _default_quantities = ['qbao', 'qap', 'df', 'dm']
+
+
+class BandVelocityCompressionObservable(BaseCompressionObservable):
+    """Band velocity power compression: (dptt_i..., df, qap) (reference
+    compression.py:305). Pass the band pivots as ``kp=``."""
+
+    _extractor_cls = BandVelocityPowerSpectrumExtractor
+
+    @classmethod
+    def _quantities_default(cls, init_kwargs):
+        kp = init_kwargs.get('kp', None)
+        n = len(kp) if kp is not None else 0
+        return ['dptt{:d}'.format(i) for i in range(n)] + ['df', 'qap']
+
+
+class TurnOverCompressionObservable(BaseCompressionObservable):
+    """Turn-over compression: (DV * kTO, DM/DH) (reference compression.py:346;
+    arXiv:2302.07484)."""
+
+    _extractor_cls = TurnOverPowerSpectrumExtractor
+    _default_quantities = ['DV_times_kTO', 'DM_over_DH']
+
+
+class P1DCompressionObservable(BaseCompressionObservable):
+    """Lya P1D compression: (delta2_star, n_star) (reference
+    observables/lya/compression.py:5)."""
+
+    _default_quantities = ['delta2_star', 'n_star']
+
+    @property
+    def _extractor_cls(self):
+        from ..theories.lya import P1DPowerSpectrumExtractor
+        return P1DPowerSpectrumExtractor

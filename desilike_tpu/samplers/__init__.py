@@ -1,5 +1,5 @@
 from .base import BasePosteriorSampler
-from .ensemble import EnsembleSampler
+from .ensemble import EnsembleSampler, EnsembleSliceSampler
 from .mcmc import MCMCSampler
 from .nuts import NUTSSampler
 from .deterministic import GridSampler, QMCSampler, ImportanceSampler

@@ -18,7 +18,9 @@ from .full_shape import (KaiserPowerSpectrumMultipoles, KaiserTracerPowerSpectru
 from .ept import EPTTracerPowerSpectrumMultipoles, EPTTracerCorrelationFunctionMultipoles
 from .tns import (TNSTracerPowerSpectrumMultipoles, EFTLikeTNSTracerPowerSpectrumMultipoles,
                   TNSTracerCorrelationFunctionMultipoles, EFTLikeTNSTracerCorrelationFunctionMultipoles)
-from .extractors import BAOExtractor, StandardPowerSpectrumExtractor, ShapeFitPowerSpectrumExtractor
+from .extractors import (BAOExtractor, StandardPowerSpectrumExtractor, ShapeFitPowerSpectrumExtractor,
+                         WiggleSplitPowerSpectrumExtractor, BandVelocityPowerSpectrumExtractor,
+                         TurnOverPowerSpectrumExtractor)
 from .png import PNGTracerPowerSpectrumMultipoles
 from .bispectrum import TreeLevelBispectrumMultipoles
 from .lya import P1DPowerSpectrumExtractor

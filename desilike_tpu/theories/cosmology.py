@@ -58,15 +58,17 @@ class Cosmology(Calculator):
             params[name] = cfg
         return params
 
-    def initialize(self, fiducial=None, fixed=True, engine='eh98', pk_table=None):
+    def initialize(self, fiducial=None, fixed=True, engine='eh98', pk_table=None,
+                   z_grid=None, k_grid=None, zpk_grid=None):
         base = dict(bg.DEFAULT_PARAMS)
         if fiducial:
             base.update(fiducial)
         self.fiducial_values = base
         self.engine = str(engine)
-        if self.engine not in ('eh98', 'table'):
-            raise ValueError("engine must be 'eh98' (approximate, self-contained) or "
-                             "'table' (injected Boltzmann pk, production path)")
+        if self.engine not in ('eh98', 'table', 'external'):
+            raise ValueError("engine must be 'eh98' (approximate, self-contained), "
+                             "'table' (injected Boltzmann pk, production path) or "
+                             "'external' (per-evaluation host-code products, bindings)")
         if self.engine == 'table':
             if pk_table is None:
                 raise ValueError("engine='table' needs pk_table=(k, pk) at z=0 from a "
@@ -75,6 +77,58 @@ class Cosmology(Calculator):
             self._lnk_tab, self._lnpk_tab = np.log(ktab), np.log(pktab)
             self._p_fid = bg.resolve(dict(base))
             self._alpha_nw = lin.table_nowiggle_amplitude(self._p_fid, self._lnk_tab, self._lnpk_tab)
+        if self.engine == 'external':
+            self._init_external(z_grid, k_grid, zpk_grid)
+
+    def _init_external(self, z_grid, k_grid, zpk_grid):
+        """Host-cosmology shim (reference cosmo.py:37 ExternalEngine +
+        base.py:574 cosmo_requires): quantities are read from tables on
+        fixed grids. Tables are injected per evaluation (``inject``) and
+        flow through compiled programs as traced arguments (see
+        Pipeline.external_values), so a host sampler varying the cosmology
+        never triggers retracing. Filled with EH98 fiducial values at init
+        so the node evaluates before the first injection. All quantities in
+        h-units (k [h/Mpc], pk [(Mpc/h)^3], distances [Mpc/h])."""
+        import jax.numpy as jnp_
+        self.z_grid = np.asarray(z_grid if z_grid is not None else np.linspace(0., 4., 65), dtype='f8')
+        self.k_grid = np.asarray(k_grid if k_grid is not None else np.geomspace(1e-4, 10., 256), dtype='f8')
+        self.zpk_grid = np.asarray(zpk_grid if zpk_grid is not None else np.linspace(0., 3., 13), dtype='f8')
+        p = bg.resolve(dict(self.fiducial_values))
+        self.efunc_tab = np.asarray(bg.efunc(p, self.z_grid), dtype='f8')
+        self.chi_tab = np.asarray(bg.comoving_radial_distance(p, self.z_grid), dtype='f8')
+        self.rs_drag_tab = np.asarray(bg.rs_drag(p), dtype='f8')
+        self.pk_tab = np.stack([np.asarray(lin.pk_lin(p, jnp_.asarray(self.k_grid), zz), dtype='f8')
+                                for zz in self.zpk_grid])
+        s8 = np.array([float(lin.sigma_r(p, 8., zz)) for zz in self.z_grid])
+        self.sigma8_tab = s8
+        self.fsigma8_tab = np.asarray(bg.growth_rate(p, self.z_grid), dtype='f8') * s8
+        self._external_attrs = ('efunc_tab', 'chi_tab', 'rs_drag_tab', 'pk_tab',
+                                'fsigma8_tab', 'sigma8_tab')
+        self.cosmo_requires = {
+            'background': {'efunc': {'z': self.z_grid},
+                           'comoving_radial_distance': {'z': self.z_grid}},
+            'thermodynamics': {'rs_drag': None},
+            'fourier': {'pk_interpolator': {'k': self.k_grid, 'z': self.zpk_grid,
+                                            'of': [('delta_m', 'delta_m')], 'non_linear': False},
+                        'fsigma8': {'z': self.z_grid},
+                        'sigma8_z': {'z': self.z_grid}},
+        }
+
+    def inject(self, **arrays):
+        """Set external tables (host-side numpy). Keys: efunc_tab, chi_tab,
+        rs_drag_tab, pk_tab, fsigma8_tab, sigma8_tab — shapes must match the
+        node's grids (fixed at initialization, so compiled programs never
+        retrace)."""
+        if self.engine != 'external':
+            raise ValueError("inject() requires engine='external'")
+        for name, value in arrays.items():
+            if name not in self._external_attrs:
+                raise ValueError('unknown external quantity {}; expected {}'.format(name, self._external_attrs))
+            value = np.asarray(value, dtype='f8')
+            expected = np.shape(getattr(self, name))
+            if value.shape != expected:
+                raise ValueError('{} shape {} != grid shape {}'.format(name, value.shape, expected))
+            setattr(self, name, value)
 
     def calculate(self, **params):
         p = dict(self.fiducial_values)
@@ -84,18 +138,27 @@ class Cosmology(Calculator):
     # --- background ---
 
     def efunc(self, z):
+        if self.engine == 'external':
+            return jnp.interp(jnp.asarray(z), jnp.asarray(self.z_grid), jnp.asarray(self.efunc_tab))
         return bg.efunc(self.p, z)
 
     def comoving_angular_distance(self, z):
+        if self.engine == 'external':
+            # flat geometry: the host shim carries the radial distance only
+            return self.comoving_radial_distance(z)
         return bg.comoving_angular_distance(self.p, z)
 
     def comoving_radial_distance(self, z):
+        if self.engine == 'external':
+            return jnp.interp(jnp.asarray(z), jnp.asarray(self.z_grid), jnp.asarray(self.chi_tab))
         return bg.comoving_radial_distance(self.p, z)
 
     def hubble_distance(self, z):
-        return bg.hubble_distance(self.p, z)
+        return bg.DH_100 / self.efunc(z)
 
     def rs_drag(self):
+        if self.engine == 'external':
+            return jnp.asarray(self.rs_drag_tab)
         return bg.rs_drag(self.p)
 
     @property
@@ -105,14 +168,30 @@ class Cosmology(Calculator):
     # --- growth & fourier ---
 
     def growth_rate(self, z):
+        if self.engine == 'external':
+            return self.fsigma8(z) / self.sigma8(z)
         return bg.growth_rate(self.p, z)
 
     def growth_factor(self, z):
+        if self.engine == 'external':
+            return self.sigma8(z) / self.sigma8(0.)
         return bg.growth_factor(self.p, z)
+
+    def _pk_external(self, k, z):
+        """Log-log interpolation of the injected (nzpk, nk) table; z scalar."""
+        lnpk = jnp.log(jnp.asarray(self.pk_tab))
+        zg = jnp.asarray(self.zpk_grid)
+        z = jnp.asarray(z)
+        iz = jnp.clip(jnp.searchsorted(zg, z) - 1, 0, len(self.zpk_grid) - 2)
+        t = jnp.clip((z - zg[iz]) / (zg[iz + 1] - zg[iz]), 0., 1.)
+        row = (1. - t) * lnpk[iz] + t * lnpk[iz + 1]
+        return jnp.exp(jnp.interp(jnp.log(jnp.asarray(k)), jnp.log(jnp.asarray(self.k_grid)), row))
 
     def pk_dd(self, k, z):
         if self.engine == 'table':
             return lin.pk_lin_table(self.p, self._p_fid, self._lnk_tab, self._lnpk_tab, k, z)
+        if self.engine == 'external':
+            return self._pk_external(k, z)
         return lin.pk_lin(self.p, k, z)
 
     def pk_dd_now(self, k, z):
@@ -120,18 +199,29 @@ class Cosmology(Calculator):
             # same response algebra as pk_lin_table; smooth EH98 shape scaled
             # to the injected table's normalization
             return self._alpha_nw * lin.pk_lin(self.p, k, z, nowiggle=True)
+        if self.engine == 'external':
+            # smooth EH98 shape amplitude-matched to the injected table
+            # (a no-wiggle reference for wiggle-split filters)
+            alpha = (self.sigma8(z) / lin.sigma_r(self.p, 8., z)) ** 2
+            return alpha * lin.pk_lin(self.p, k, z, nowiggle=True)
         return lin.pk_lin(self.p, k, z, nowiggle=True)
 
     def sigma_r(self, r, z=0.):
         if self.engine == 'table':
             return lin.sigma_r(self.p, r, z, pk_func=lambda k: lin.pk_lin_table(
                 self.p, self._p_fid, self._lnk_tab, self._lnpk_tab, k, z))
+        if self.engine == 'external':
+            return lin.sigma_r(self.p, r, z, pk_func=lambda k: self._pk_external(k, z))
         return lin.sigma_r(self.p, r, z)
 
     def sigma8(self, z=0.):
+        if self.engine == 'external':
+            return jnp.interp(jnp.asarray(z), jnp.asarray(self.z_grid), jnp.asarray(self.sigma8_tab))
         return lin.sigma_r(self.p, 8., z)
 
     def fsigma8(self, z=0.):
+        if self.engine == 'external':
+            return jnp.interp(jnp.asarray(z), jnp.asarray(self.z_grid), jnp.asarray(self.fsigma8_tab))
         return self.growth_rate(z) * self.sigma8(z)
 
     def get(self):

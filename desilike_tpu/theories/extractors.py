@@ -8,6 +8,7 @@ Everything is differentiable through the EH98 backend.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core import Calculator
@@ -53,6 +54,55 @@ class BAOExtractor(Calculator):
         self.qper = self.DM_over_rd / self.DM_over_rd_fid
         self.qiso = self.DV_over_rd / self.DV_over_rd_fid
         self.qap = self.DH_over_DM / self.DH_over_DM_fid
+
+
+_EXTRACT_K = np.geomspace(1e-4, 10., 512)
+
+
+def _sigma_r2_and_slope(pk_func, r, kernel='gauss'):
+    r"""(sigma_r^2, d sigma_r^2 / d ln r) on the static extractor k grid.
+
+    sigma_r^2 = 1/(2 pi^2) \int k^2 P(k) K(kr) dk; the ln-r derivative uses
+    dK/dln r analytically (gauss: K = e^{-x^2}, K' = -2 x^2 e^{-x^2};
+    tophat: K = W^2(x), K' = x d(W^2)/dx), so the wiggle-split slope m is
+    differentiable end to end."""
+    from ..ops.legendre import trapz_weights
+    k = jnp.asarray(_EXTRACT_K)
+    pk = pk_func(k)
+    x = k * r
+    if kernel == 'gauss':
+        K = jnp.exp(-x ** 2)
+        Kp = -2. * x ** 2 * K
+    elif kernel == 'tophat':
+        from ..cosmology.linear import tophat_window
+        w = tophat_window(x)
+        K = w ** 2
+        # d(W^2)/dln r = x d(W^2)/dx, with dW/dx = (x^2 W - sin x + x cos x)... use AD
+        Kp = x * jax.grad(lambda xx: jnp.sum(tophat_window(xx) ** 2))(x)
+    else:
+        raise ValueError(kernel)
+    wk = jnp.asarray(trapz_weights(_EXTRACT_K))
+    norm = 1. / (2. * np.pi ** 2)
+    s2 = norm * jnp.sum(wk * k ** 2 * pk * K)
+    ds2 = norm * jnp.sum(wk * k ** 2 * pk * Kp)
+    return s2, ds2
+
+
+def _parabolic_logmax(k, pk):
+    """Turn-over (k_TO, P_TO) by parabolic refinement of the log-log maximum
+    (same estimator as TurnOverPowerSpectrumTemplate; arXiv:2302.07484)."""
+    lk = jnp.log10(jnp.asarray(k))
+    lp = jnp.log10(pk)
+    i = jnp.clip(jnp.argmax(lp), 1, len(k) - 2)
+    x0, x1, x2 = lk[i - 1], lk[i], lk[i + 1]
+    y0, y1, y2 = lp[i - 1], lp[i], lp[i + 1]
+    c0 = y0 / ((x0 - x1) * (x0 - x2))
+    c1 = y1 / ((x1 - x0) * (x1 - x2))
+    c2 = y2 / ((x2 - x0) * (x2 - x1))
+    a = c0 + c1 + c2
+    lk0 = (c0 * (x1 + x2) + c1 * (x0 + x2) + c2 * (x0 + x1)) / (2. * a)
+    lp0 = c0 * (lk0 - x1) * (lk0 - x2) + c1 * (lk0 - x0) * (lk0 - x2) + c2 * (lk0 - x0) * (lk0 - x1)
+    return 10. ** lk0, 10. ** lp0
 
 
 class StandardPowerSpectrumExtractor(BAOExtractor):
@@ -118,3 +168,112 @@ class ShapeFitPowerSpectrumExtractor(BAOExtractor):
         self.dn = self.n - self.n_fid
         self.f_sqrt_Ap = f * Ap ** 0.5
         self.df = self.f_sqrt_Ap / self.f_sqrt_Ap_fid
+
+
+class WiggleSplitPowerSpectrumExtractor(BAOExtractor):
+    r"""Wiggle-split (qbao, qap, df, dm) extraction (reference :1079):
+    amplitude and ln-r slope of the velocity spectrum smoothed at
+    r = 8 (DV/DV_fid) Mpc/h, plus the BAO dilation. Differentiable through
+    any cosmology engine (pk via ``cosmo.pk_dd``, velocities as f^2 pk in
+    linear theory)."""
+
+    _params = dict(BAOExtractor._params)
+    _params.update({name: dict(derived=True) for name in ('qbao', 'df', 'dm', 'm', 'fsigmar')})
+
+    def initialize(self, *args, r=8., kernel='gauss', **kwargs):
+        self.r = float(r)
+        self.kernel = str(kernel)
+        super().initialize(*args, **kwargs)
+        p = self.fiducial
+        DH = float(bg.hubble_distance(p, self.z))
+        DM = float(bg.comoving_angular_distance(p, self.z))
+        self.DV_fid = DH ** self.eta * DM ** (1. - self.eta) * self.z ** (1. / 3.)
+        f_fid = float(bg.growth_rate(p, self.z))
+        s2, ds2 = _sigma_r2_and_slope(lambda k: f_fid ** 2 * lin.pk_lin(p, k, self.z),
+                                      self.r, self.kernel)
+        self.fsigmar_fid = float(jnp.sqrt(s2))
+        self.m_fid = float(-ds2 / s2 - 3.)
+
+    def calculate(self, **params):
+        super().calculate(**params)
+        f = self.cosmo.growth_rate(self.z)
+        DV = self.DV_over_rd * self.cosmo.rs_drag()
+        r = self.r * DV / self.DV_fid
+        s2, ds2 = _sigma_r2_and_slope(lambda k: f ** 2 * self.cosmo.pk_dd(k, self.z),
+                                      r, self.kernel)
+        self.fsigmar = jnp.sqrt(s2)
+        self.m = -ds2 / s2 - 3.
+        self.qbao = self.qiso
+        self.df = self.fsigmar / self.fsigmar_fid
+        self.dm = self.m - self.m_fid
+
+
+class BandVelocityPowerSpectrumExtractor(BAOExtractor):
+    r"""Band velocity power (dptt_i, df, qap) extraction (reference :767):
+    the velocity power spectrum at pivots kp/qiso (volume-rescaled by
+    qiso^3) relative to the fiducial, and the r = 8 qiso growth amplitude."""
+
+    @staticmethod
+    def _params(init):
+        kp = init.get('kp', None)
+        n = len(kp) if kp is not None else 0
+        params = {name: dict(derived=True) for name in BAOExtractor._params}
+        params.update({name: dict(derived=True) for name in ('df', 'fsigmar')})
+        for i in range(n):
+            params['dptt{:d}'.format(i)] = dict(derived=True, latex=r'\Delta P_{{\theta\theta,{:d}}}'.format(i))
+        return params
+
+    def initialize(self, *args, kp=None, **kwargs):
+        if kp is None:
+            raise ValueError('provide band pivots kp')
+        self.kp = np.asarray(kp, dtype='f8')
+        super().initialize(*args, **kwargs)
+        p = self.fiducial
+        f_fid = float(bg.growth_rate(p, self.z))
+        self.pk_tt_fid = f_fid ** 2 * np.asarray(lin.pk_lin(p, jnp.asarray(self.kp), self.z), dtype='f8')
+        self.fsigmar_fid = f_fid * float(lin.sigma_r(p, 8., self.z))
+
+    def calculate(self, **params):
+        super().calculate(**params)
+        f = self.cosmo.growth_rate(self.z)
+        qiso = self.qiso
+        pk_tt = f ** 2 * self.cosmo.pk_dd(jnp.asarray(self.kp) / qiso, self.z) / qiso ** 3
+        self.dptt = pk_tt / jnp.asarray(self.pk_tt_fid)
+        for i in range(len(self.kp)):
+            setattr(self, 'dptt{:d}'.format(i), self.dptt[i])
+        self.fsigmar = f * self.cosmo.sigma_r(8. * qiso, self.z)
+        self.df = self.fsigmar / self.fsigmar_fid
+
+
+class TurnOverPowerSpectrumExtractor(BAOExtractor):
+    r"""Turn-over (DV_times_kTO, DM_over_DH, qto, qap) extraction
+    (reference :1235; arXiv:2302.07484): the matter power spectrum maximum
+    located by parabolic log-log refinement on a static k grid."""
+
+    _params = dict(BAOExtractor._params)
+    _params.update({name: dict(derived=True) for name in
+                    ('kTO', 'DV_times_kTO', 'DM_over_DH', 'qto')})
+
+    _KTO_GRID = np.geomspace(2e-3, 0.1, 160)
+
+    def initialize(self, *args, **kwargs):
+        super().initialize(*args, **kwargs)
+        p = self.fiducial
+        kto_fid, _ = _parabolic_logmax(self._KTO_GRID,
+                                       jnp.asarray(lin.pk_lin(p, jnp.asarray(self._KTO_GRID), self.z)))
+        self.kTO_fid = float(kto_fid)
+        DH = float(bg.hubble_distance(p, self.z))
+        DM = float(bg.comoving_angular_distance(p, self.z))
+        self.DV_fid = DH ** self.eta * DM ** (1. - self.eta) * self.z ** (1. / 3.)
+        self.DV_times_kTO_fid = self.DV_fid * self.kTO_fid
+
+    def calculate(self, **params):
+        super().calculate(**params)
+        pk = self.cosmo.pk_dd(jnp.asarray(self._KTO_GRID), self.z)
+        self.kTO, _ = _parabolic_logmax(self._KTO_GRID, pk)
+        DH = self.cosmo.hubble_distance(self.z)
+        DM = self.cosmo.comoving_angular_distance(self.z)
+        DV = DH ** self.eta * DM ** (1. - self.eta) * self.z ** (1. / 3.)
+        self.DV_times_kTO = DV * self.kTO
+        self.DM_over_DH = DM / DH
+        self.qto = self.DV_times_kTO / self.DV_times_kTO_fid

@@ -274,11 +274,18 @@ class DirectPowerSpectrumTemplate(BasePowerSpectrumTemplate):
 
     def initialize(self, k=None, z=1., fiducial=None, with_now='peakaverage',
                    only_now=False, eta=1. / 3., varied=('h', 'omega_cdm', 'omega_b', 'logA', 'n_s'),
-                   engine='eh98', pk_table=None):
-        self.cosmo = Cosmology(fiducial=fiducial if isinstance(fiducial, dict) else None,
-                               engine=engine, pk_table=pk_table)
-        for name in varied:
-            self.cosmo.init.params.set(_direct_param(name))
+                   engine='eh98', pk_table=None, cosmo=None):
+        if cosmo is not None:
+            self.cosmo = cosmo
+            engine = cosmo.init.get('engine', engine)
+        else:
+            self.cosmo = Cosmology(fiducial=fiducial if isinstance(fiducial, dict) else None,
+                                   engine=engine, pk_table=pk_table)
+        if engine != 'external':
+            # external mode: the HOST code varies the cosmology and injects
+            # its products (reference bindings/base.py cosmo_requires flow)
+            for name in varied:
+                self.cosmo.init.params.set(_direct_param(name))
         # the AP effect shares this cosmology node (passed via init so it
         # survives re-initialization)
         super().initialize(k=k, z=z, fiducial=fiducial, apmode='geometry',
@@ -287,9 +294,8 @@ class DirectPowerSpectrumTemplate(BasePowerSpectrumTemplate):
             self._filter = lin.NoWiggleFilter(self.k)
 
     def calculate(self, **params):
-        p = self.cosmo.p
         self.pk_dd = self.cosmo.pk_dd(self.k, self.z)
-        self.f = bg.growth_rate(p, self.z)
+        self.f = self.cosmo.growth_rate(self.z)
         self.f0 = self.f
         self.fk = jnp.full(self.k.shape, self.f)
         self.sigma8 = self.cosmo.sigma_r(8., self.z)

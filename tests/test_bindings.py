@@ -35,6 +35,123 @@ def test_cosmosis_generator(tmp_path):
     assert 'def execute(' in code and 'def setup(' in code
 
 
+def external_fs_factory():
+    """Full-shape likelihood on an external (host-provided) cosmology."""
+    from desilike_tpu.theories import DirectPowerSpectrumTemplate, KaiserTracerPowerSpectrumMultipoles
+    from desilike_tpu.theories.cosmology import Cosmology
+    from desilike_tpu.observables import TracerPowerSpectrumMultipolesObservable, BoxFootprint
+    from desilike_tpu.likelihoods import ObservablesGaussianLikelihood
+    cosmo = Cosmology(engine='external')
+    tmpl = DirectPowerSpectrumTemplate(z=1., cosmo=cosmo)
+    theory = KaiserTracerPowerSpectrumMultipoles(ells=(0, 2), template=tmpl, mu=6)
+    obs = TracerPowerSpectrumMultipolesObservable(data={'b1': 2.0},
+                                                  klim={0: (0.02, 0.18, 0.01), 2: (0.02, 0.18, 0.01)},
+                                                  theory=theory)
+    return ObservablesGaussianLikelihood(observables=[obs],
+                                         footprints=[BoxFootprint(volume=2e9, nbar=5e-4)])
+
+
+class FakeProvider:
+    """Cobaya-provider stand-in: EH98 products in COBAYA conventions
+    (H in km/s/Mpc, distances in Mpc, k in 1/Mpc, Pk in Mpc^3)."""
+
+    def __init__(self, params=None):
+        from desilike_tpu.cosmology import background as bg
+        self._bg = bg
+        self.p = bg.resolve(dict(params or {}))
+        self.h = float(self.p['h'])
+
+    def get_Hubble(self, z):
+        return 100. * self.h * np.asarray(self._bg.efunc(self.p, np.asarray(z, dtype='f8')))
+
+    def get_comoving_radial_distance(self, z):
+        return np.asarray(self._bg.comoving_radial_distance(self.p, np.asarray(z, dtype='f8'))) / self.h
+
+    def get_param(self, name):
+        assert name == 'rdrag'
+        return float(self._bg.rs_drag(self.p)) / self.h
+
+    def get_Pk_grid(self, var_pair=('delta_tot', 'delta_tot'), nonlinear=False):
+        import jax.numpy as jnp
+        from desilike_tpu.cosmology import linear as lin
+        kh = np.geomspace(1e-4, 12., 300)
+        zs = np.linspace(0., 3., 7)
+        pk = np.stack([np.asarray(lin.pk_lin(self.p, jnp.asarray(kh), zz)) for zz in zs])
+        return kh * self.h, zs, pk / self.h ** 3
+
+    def get_fsigma8(self, z):
+        from desilike_tpu.cosmology import linear as lin
+        return np.array([float(self._bg.growth_rate(self.p, zz)) * float(lin.sigma_r(self.p, 8., zz))
+                         for zz in np.atleast_1d(z)])
+
+    def get_sigma8_z(self, z):
+        from desilike_tpu.cosmology import linear as lin
+        return np.array([float(lin.sigma_r(self.p, 8., zz)) for zz in np.atleast_1d(z)])
+
+
+def test_cobaya_host_cosmology_injection():
+    """cosmo_requires flow: requirements declared, provider products injected,
+    compiled logp responds to the host cosmology (reference factory.py:18-99)."""
+    import jax.numpy as jnp
+    from desilike_tpu.bindings.cobaya import (cobaya_requirements, inject_from_cobaya,
+                                              gather_cobaya_products)
+    like = external_fs_factory()
+    req = cobaya_requirements(like)
+    assert {'Hubble', 'comoving_radial_distance', 'rdrag', 'Pk_grid', 'fsigma8', 'sigma8_z'} <= set(req)
+    assert req['Pk_grid']['nonlinear'] is False and req['Pk_grid']['k_max'] > 1.
+
+    fn = like.logpost_fn()
+    pipe = like.pipeline
+
+    def logp(**vals):
+        values = {k: jnp.asarray(v) for k, v in vals.items()}
+        values.update(pipe.external_values())
+        return float(fn(values)[1]['loglikelihood'])
+
+    base = logp(b1=2.0)
+    # provider at the node's own fiducial: round-trips units + regridding
+    inject_from_cobaya(like, FakeProvider())
+    lp_fid = logp(b1=2.0)
+    assert abs(lp_fid - base) < 0.5
+    # shifted cosmology: worse fit to fiducial-generated data
+    shifted = FakeProvider({'h': 0.70, 'omega_cdm': 0.125})
+    inject_from_cobaya(like, shifted)
+    lp_shift = logp(b1=2.0)
+    assert lp_shift < lp_fid - 1.0
+    # identical to direct product injection
+    node = pipe.external_nodes()[0][1]
+    inject_from_cobaya(like, FakeProvider())  # reset
+    pipe.set_cosmo_requires(**gather_cobaya_products(shifted, node))
+    assert logp(b1=2.0) == pytest.approx(lp_shift, abs=1e-6)
+
+
+def test_generated_cobaya_module_with_fake_provider(tmp_path, monkeypatch):
+    """Execute the FULL generated module against a stub cobaya host."""
+    import sys, types
+    cob = types.ModuleType('cobaya')
+    lik = types.ModuleType('cobaya.likelihood')
+
+    class Likelihood:
+        pass
+
+    lik.Likelihood = Likelihood
+    cob.likelihood = lik
+    monkeypatch.setitem(sys.modules, 'cobaya', cob)
+    monkeypatch.setitem(sys.modules, 'cobaya.likelihood', lik)
+    from desilike_tpu.bindings import CobayaLikelihoodGenerator
+    gen = CobayaLikelihoodGenerator(external_fs_factory)
+    ns = {}
+    exec(compile(gen.generate(), '<gen>', 'exec'), ns)
+    L = ns['DesilikeTPULikelihood']()
+    L.initialize()
+    assert 'Pk_grid' in L.get_requirements()
+    L.provider = FakeProvider({'h': 0.70})
+    lp1 = L.logp(b1=2.0)
+    L.provider = FakeProvider()
+    lp0 = L.logp(b1=2.0)
+    assert np.isfinite(lp0) and np.isfinite(lp1) and lp0 > lp1
+
+
 def test_generated_logic_without_host(tmp_path):
     """Execute the generated module's factory path without cobaya installed."""
     from desilike_tpu.bindings import CobayaLikelihoodGenerator

@@ -97,3 +97,78 @@ def test_compression_observables():
     lp0, _ = fn({'h': jnp.asarray(0.6736), 'omega_cdm': jnp.asarray(0.12)})
     lp1, _ = fn({'h': jnp.asarray(0.6736), 'omega_cdm': jnp.asarray(0.135)})
     assert np.isfinite(float(lp0)) and float(lp0) > float(lp1)
+
+
+def test_new_extractors_fiducial_identity():
+    """WiggleSplit/BandVelocity/TurnOver extractors: exact identity values at
+    the fiducial cosmology, sensible responses away from it."""
+    from desilike_tpu.theories.extractors import (WiggleSplitPowerSpectrumExtractor,
+                                                  BandVelocityPowerSpectrumExtractor,
+                                                  TurnOverPowerSpectrumExtractor)
+    ws = WiggleSplitPowerSpectrumExtractor(z=0.8, cosmo=varied_cosmo(('omega_cdm',)))
+    ws.pipeline.evaluate({})
+    assert float(ws.qbao) == pytest.approx(1., abs=1e-6)
+    assert float(ws.df) == pytest.approx(1., abs=1e-6)
+    assert float(ws.dm) == pytest.approx(0., abs=1e-6)
+    ws.pipeline.evaluate({'omega_cdm': 0.135})
+    assert abs(float(ws.dm)) > 1e-3 and float(ws.df) != pytest.approx(1., abs=1e-3)
+
+    kp = np.array([0.05, 0.1, 0.15])
+    bv = BandVelocityPowerSpectrumExtractor(z=0.8, kp=kp, cosmo=varied_cosmo(('omega_cdm',)))
+    bv.pipeline.evaluate({})
+    np.testing.assert_allclose(np.asarray(bv.dptt), 1., atol=1e-6)
+    assert float(bv.df) == pytest.approx(1., abs=1e-6)
+    bv.pipeline.evaluate({'omega_cdm': 0.135})
+    assert not np.allclose(np.asarray(bv.dptt), 1., atol=1e-3)
+
+    to = TurnOverPowerSpectrumExtractor(z=0.8, cosmo=varied_cosmo(('omega_cdm',)))
+    to.pipeline.evaluate({})
+    assert float(to.qto) == pytest.approx(1., abs=1e-5)
+    assert float(to.DV_times_kTO) > 0.
+    kto_fid = float(to.kTO)
+    # higher omega_m moves equality (and the turn-over) to larger k
+    to.pipeline.evaluate({'omega_cdm': 0.135})
+    assert float(to.kTO) > kto_fid
+
+
+def test_new_compression_observables():
+    """WiggleSplit/BandVelocity/TurnOver/P1D compression: peaked at the
+    data-generating cosmology (reference compression.py:263-383,
+    observables/lya/compression.py)."""
+    from desilike_tpu.observables import (WiggleSplitCompressionObservable,
+                                          BandVelocityCompressionObservable,
+                                          TurnOverCompressionObservable,
+                                          P1DCompressionObservable)
+    cases = [
+        (WiggleSplitCompressionObservable, dict(z=0.8),
+         {'qbao': 1., 'qap': 1., 'df': 1., 'dm': 0.}, [0.01, 0.01, 0.02, 0.01]),
+        (BandVelocityCompressionObservable, dict(z=0.8, kp=np.array([0.05, 0.1])),
+         {'dptt0': 1., 'dptt1': 1., 'df': 1., 'qap': 1.}, [0.02, 0.02, 0.02, 0.01]),
+        (TurnOverCompressionObservable, dict(z=0.8),
+         None, [5., 0.02]),  # data from the extractor itself below
+    ]
+    for cls, kw, data, sig in cases:
+        if data is None:
+            ext = cls._extractor_cls(cosmo=varied_cosmo(('omega_cdm',)), **kw)
+            ext.pipeline.evaluate({})
+            data = {q: float(getattr(ext, q)) for q in cls._default_quantities}
+        obs = cls(data=data, covariance=np.diag(np.asarray(sig) ** 2),
+                  cosmo=varied_cosmo(('omega_cdm',)), **kw)
+        like = ObservablesGaussianLikelihood(observables=[obs])
+        fn = like.logpost_fn()
+        lp0, _ = fn({'omega_cdm': jnp.asarray(0.12)})
+        lp1, _ = fn({'omega_cdm': jnp.asarray(0.13)})
+        assert np.isfinite(float(lp0)) and float(lp0) > float(lp1), cls.__name__
+
+    # Lya P1D: quantities from its own extractor at fiducial
+    from desilike_tpu.theories.lya import P1DPowerSpectrumExtractor
+    ext = P1DPowerSpectrumExtractor(z=3., cosmo=varied_cosmo(('omega_cdm',)))
+    ext.pipeline.evaluate({})
+    data = {'delta2_star': float(ext.delta2_star), 'n_star': float(ext.n_star)}
+    obs = P1DCompressionObservable(data=data, covariance=np.diag([0.05 ** 2, 0.02 ** 2]),
+                                   z=3., cosmo=varied_cosmo(('omega_cdm',)))
+    like = ObservablesGaussianLikelihood(observables=[obs])
+    fn = like.logpost_fn()
+    lp0, _ = fn({'omega_cdm': jnp.asarray(0.12)})
+    lp1, _ = fn({'omega_cdm': jnp.asarray(0.13)})
+    assert np.isfinite(float(lp0)) and float(lp0) > float(lp1)

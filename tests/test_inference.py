@@ -107,3 +107,31 @@ def test_lya_extractor():
     assert -2.6 < ns < -2.1     # n* ~ -2.3
     ext.pipeline.evaluate({'n_s': 1.0})
     assert float(ext.n_star) > ns  # bluer primordial tilt -> larger n*
+
+
+def test_profiles_save_load_and_latex(tmp_path):
+    """Profiles container round-trip + LaTeX stats (reference profiles.py:508)."""
+    from desilike_tpu.samples.profiles import Profiles
+    from desilike_tpu.parameters import Parameter
+    prof = Profiles([Parameter(basename='a', value=1., latex='\\alpha'),
+                     Parameter(basename='b', value=2.)])
+    prof.bestfit['a'] = np.array([1.01, 1.02])
+    prof.bestfit['b'] = np.array([2.0, 1.99])
+    prof.bestfit['logposterior'] = np.array([-1.0, -0.5])
+    prof.error = {'a': 0.05, 'b': 0.1}
+    prof.interval = {'a': (0.95, 1.07)}
+    prof.profile = {'a': (np.linspace(0.9, 1.1, 5), np.array([4., 1., 0., 1., 4.]))}
+    prof.contour = {('a', 'b'): {0.68: (np.cos(np.linspace(0, 7, 20)), np.sin(np.linspace(0, 7, 20)))}}
+    prof.covariance = np.eye(2) * 0.01
+    fn = str(tmp_path / 'profiles.npz')
+    prof.save(fn)
+    back = Profiles.load(fn)
+    assert back.choice()['a'] == pytest.approx(1.02)
+    assert back.error['b'] == pytest.approx(0.1)
+    assert back.interval['a'] == pytest.approx((0.95, 1.07))
+    np.testing.assert_allclose(back.profile['a'][1], prof.profile['a'][1])
+    np.testing.assert_allclose(back.contour[('a', 'b')][0.68][0], prof.contour[('a', 'b')][0.68][0])
+    np.testing.assert_allclose(back.covariance, prof.covariance)
+    latex = prof.to_stats(tablefmt='latex')
+    assert '\\begin{tabular}' in latex and '\\alpha' in latex
+    assert 'bestfit' in prof.to_stats()

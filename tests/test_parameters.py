@@ -73,3 +73,57 @@ def test_deriv():
     d2 = Deriv(('b', 'a'))
     assert d1 == d2 and hash(d1) == hash(d2)
     assert Deriv().total == 0 and d1.total == 2
+
+
+def test_parameter_covariance_container():
+    """ParameterCovariance: views, marginalize/fix algebra, getdist covmat
+    round-trip, fisher round-trip (reference parameter.py:2527)."""
+    from desilike_tpu.parameters import ParameterCovariance
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(3, 3))
+    cov = A @ A.T + 3. * np.eye(3)
+    names = ['a', 'b', 'c']
+    pc = ParameterCovariance(cov, names, center=[1., 2., 3.])
+    np.testing.assert_allclose(pc.view(['a', 'c']), cov[np.ix_([0, 2], [0, 2])])
+    np.testing.assert_allclose(pc.std('b'), np.sqrt(cov[1, 1]))
+    # marginalize = submatrix; fix = inverse of precision submatrix
+    marg = pc.marginalize(['b'])
+    np.testing.assert_allclose(marg.view(), cov[np.ix_([0, 2], [0, 2])])
+    fixed = pc.fix(['b'])
+    prec = np.linalg.inv(cov)
+    np.testing.assert_allclose(fixed.view(), np.linalg.inv(prec[np.ix_([0, 2], [0, 2])]))
+    # conditioning shrinks variances; marginal keeps them
+    assert np.all(np.diag(fixed.view()) <= np.diag(marg.view()) + 1e-12)
+    assert pc.fom() == pytest.approx(np.linalg.det(cov) ** -0.5)
+    # getdist covmat round-trip
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        fn = os.path.join(d, 'test.covmat')
+        pc.write_getdist(fn)
+        back = ParameterCovariance.from_getdist(fn)
+        assert back.names() == names
+        np.testing.assert_allclose(back.view(), cov, rtol=1e-10)
+        fn2 = os.path.join(d, 'pc.npz')
+        pc.save(fn2)
+        loaded = ParameterCovariance.load(fn2)
+        np.testing.assert_allclose(loaded.view(), cov)
+        np.testing.assert_allclose(loaded.center, [1., 2., 3.])
+    # fisher round-trip
+    fisher = pc.to_fisher()
+    np.testing.assert_allclose(fisher.covariance(), cov, rtol=1e-10)
+    back = ParameterCovariance.from_fisher(fisher, params=['c', 'a'])
+    np.testing.assert_allclose(back.view(), cov[np.ix_([2, 0], [2, 0])], rtol=1e-10)
+
+
+def test_parameter_covariance_from_chain():
+    from desilike_tpu.parameters import ParameterCovariance
+    from desilike_tpu.samples.chain import Chain
+    rng = np.random.default_rng(5)
+    chain = Chain()
+    chain['x'] = rng.normal(1., 0.5, size=4000)
+    chain['y'] = chain['x'] * 0.3 + rng.normal(0., 0.2, size=4000)
+    chain['logposterior'] = np.zeros(4000)
+    pc = ParameterCovariance.from_chain(chain, params=['x', 'y'])
+    assert pc.std('x') == pytest.approx(0.5, rel=0.1)
+    assert pc.corrcoef()[0, 1] == pytest.approx(0.6, abs=0.1)
+    assert pc.center[0] == pytest.approx(1., abs=0.05)

@@ -4,7 +4,7 @@ import pytest
 
 from desilike_tpu.core import Calculator
 from desilike_tpu.likelihoods import BaseGaussianLikelihood
-from desilike_tpu.samplers import EnsembleSampler, MCMCSampler
+from desilike_tpu.samplers import EnsembleSampler, EnsembleSliceSampler, MCMCSampler
 
 
 class GaussianModel(BaseGaussianLikelihood):
@@ -40,12 +40,14 @@ def analytic_cov():
 
 @pytest.mark.parametrize('sampler_cls,kwargs', [
     (EnsembleSampler, dict(nwalkers=64)),
+    (EnsembleSliceSampler, dict(nwalkers=64)),
     (MCMCSampler, dict(nchains=8)),
 ])
 def test_sampler_recovers_gaussian(sampler_cls, kwargs):
     like = GaussianModel()
     sampler = sampler_cls(like, seed=7, **kwargs)
-    chain = sampler.run(nsteps=800).remove_burnin(0.5)
+    nsteps = 300 if sampler_cls is EnsembleSliceSampler else 800
+    chain = sampler.run(nsteps=nsteps).remove_burnin(0.5)
     cov = analytic_cov()
     for i, name in enumerate(('a', 'b')):
         assert chain.mean(name) == pytest.approx(GaussianModel._mean[i], abs=4 * np.sqrt(cov[i, i]) / 10)
