@@ -41,26 +41,50 @@ class CollectionCalculator(Calculator):
         return self.calculators[i]
 
 
-def vmap(fn, errors='nan', backend=None):
+def vmap(fn, errors='nan', backend=None, ref_values=None):
     """Batch a pure pipeline function over dicts of parameter arrays.
 
     Counterpart of the reference's triple-backend vmap (plain loop / jax /
     MPI, base.py:232-383): on TPU there is one backend — jax.vmap inside jit,
     optionally sharded over the device mesh by the caller.
 
-    errors: 'nan' (default) leaves non-finite outputs as NaN for the caller
-    to mask; 'raise' checks and raises on any non-finite result (host-side).
+    Error policy (reference per-point error capture, base.py:232-258; under
+    XLA a failed point is a non-finite row, not a Python exception):
+
+    - 'nan' (default): non-finite outputs stay NaN for the caller to mask;
+    - 'raise': raise FloatingPointError naming the failed batch indices;
+    - 'ref': replace failed rows with the output at ``ref_values``
+      (the reference-state replacement policy, base.py:253).
     """
     vfn = jax.jit(jax.vmap(fn))
+
+    def _bad_rows(out):
+        """Batch indices with any non-finite leaf entry."""
+        good = None
+        for leaf in jax.tree.leaves(out):
+            ok = jnp.all(jnp.isfinite(leaf), axis=tuple(range(1, leaf.ndim)))
+            good = ok if good is None else (good & ok)
+        return np.flatnonzero(~np.asarray(good)) if good is not None else np.array([], dtype=int)
 
     def wrapper(values):
         values = {k: jnp.atleast_1d(jnp.asarray(v)) for k, v in values.items()}
         out = vfn(values)
         if errors == 'raise':
-            leaves = jax.tree.leaves(out)
-            for leaf in leaves:
-                if not bool(jnp.all(jnp.isfinite(leaf))):
-                    raise FloatingPointError('non-finite results in batched evaluation')
+            bad = _bad_rows(out)
+            if bad.size:
+                raise FloatingPointError('non-finite results in batched evaluation '
+                                         'at indices {}'.format(bad.tolist()))
+        elif errors == 'ref':
+            if ref_values is None:
+                raise ValueError("errors='ref' requires ref_values (reference parameter dict)")
+            bad = _bad_rows(out)
+            if bad.size:
+                ref_out = fn({k: jnp.asarray(v) for k, v in ref_values.items()})
+                good = jnp.ones(jax.tree.leaves(out)[0].shape[0], dtype=bool).at[jnp.asarray(bad)].set(False)
+                out = jax.tree.map(
+                    lambda leaf, ref: jnp.where(good.reshape((-1,) + (1,) * (leaf.ndim - 1)),
+                                                leaf, jnp.asarray(ref, dtype=leaf.dtype)),
+                    out, ref_out)
         return out
 
     return wrapper

@@ -7,3 +7,4 @@ from .external import (BaseBBNLikelihood, Schoneberg2024BBNLikelihood,
 from .supernovae import (BaseSNLikelihood, PantheonLikelihood, PantheonPlusLikelihood,
                          Union3Likelihood, DESY5SNLikelihood)
 from . import cmb
+from .galaxy_clustering import SNWeightedPowerSpectrumLikelihood

@@ -3,7 +3,7 @@ from .base import (APEffect, BaseTheoryPowerSpectrumMultipoles, BaseTheoryCorrel
                    BaseTheoryCorrelationFunctionFromPowerSpectrumMultipoles, ap_k_mu, ap_s_mu)
 from .power_template import (BasePowerSpectrumTemplate, FixedPowerSpectrumTemplate, BAOPowerSpectrumTemplate,
                              BAOPhaseShiftPowerSpectrumTemplate, StandardPowerSpectrumTemplate,
-                             ShapeFitPowerSpectrumTemplate, DirectPowerSpectrumTemplate,
+                             ShapeFitPowerSpectrumTemplate, DirectPowerSpectrumTemplate, DirectWiggleSplitPowerSpectrumTemplate,
                              WiggleSplitPowerSpectrumTemplate, BandVelocityPowerSpectrumTemplate,
                              TurnOverPowerSpectrumTemplate)
 from .bao import (DampedBAOWigglesPowerSpectrumMultipoles, SimpleBAOWigglesPowerSpectrumMultipoles,
@@ -24,3 +24,4 @@ from .extractors import (BAOExtractor, StandardPowerSpectrumExtractor, ShapeFitP
 from .png import PNGTracerPowerSpectrumMultipoles
 from .bispectrum import TreeLevelBispectrumMultipoles
 from .lya import P1DPowerSpectrumExtractor
+from .weak_lensing import DESY3Theory, DES_Y3_PARAM_MAP

@@ -480,3 +480,35 @@ class TurnOverPowerSpectrumTemplate(BasePowerSpectrumTemplate):
             cached = (self.pk_dd_fid, self._cheb.coeffs(jnp.asarray(self.pk_dd_fid)))
             self._cheb_cache['pk_dd_fid'] = cached
         return self._cheb.evaluate(cached[1], k)
+
+
+class DirectWiggleSplitPowerSpectrumTemplate(DirectPowerSpectrumTemplate):
+    r"""Direct template with the wiggly part dilated by qbao and damped by
+    sigmabao (reference power_template.py:1346; arXiv:2112.10749) — base
+    cosmological parameters while marginalizing over the sound-horizon
+    scale."""
+
+    @staticmethod
+    def _params(init):
+        return {
+            'qbao': dict(value=1., prior=dict(limits=[0.8, 1.2]), ref=dict(limits=[0.99, 1.01]),
+                         delta=0.008, latex=r'q_{\rm BAO}'),
+            'sigmabao': dict(value=0., prior=dict(limits=[0., 20.]), ref=dict(limits=[0., 1.]),
+                             latex=r'\Sigma_{\rm BAO}'),
+        }
+
+    def initialize(self, **kwargs):
+        kwargs.setdefault('with_now', 'peakaverage')
+        super().initialize(**kwargs)
+        from ..ops.chebyshev import ChebyshevLogInterp
+        self._wiggle_cheb = ChebyshevLogInterp(self.k, log_values=False)
+
+    def calculate(self, qbao=1., sigmabao=0., **params):
+        super().calculate(**params)
+        wiggles = self.pk_dd - self.pknow_dd
+        coeffs = self._wiggle_cheb.coeffs(wiggles)
+        moved = self._wiggle_cheb.evaluate(coeffs, jnp.asarray(self.k) / qbao)
+        moved = moved * jnp.exp(-(jnp.asarray(self.k) * sigmabao) ** 2)
+        self.pk_dd = self.pknow_dd + moved
+        if self.only_now:
+            self.pk_dd = self.pknow_dd

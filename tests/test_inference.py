@@ -135,3 +135,33 @@ def test_profiles_save_load_and_latex(tmp_path):
     latex = prof.to_stats(tablefmt='latex')
     assert '\\begin{tabular}' in latex and '\\alpha' in latex
     assert 'bestfit' in prof.to_stats()
+
+
+def test_sn_weighted_power_spectrum_likelihood():
+    """SN-weighted P(k,mu) Fisher likelihood (reference
+    likelihoods/galaxy_clustering/fisher.py:10): peaked at the data params,
+    Fisher errors scale as 1/sqrt(volume)."""
+    from desilike_tpu.theories import KaiserTracerPowerSpectrumMultipoles, ShapeFitPowerSpectrumTemplate
+    from desilike_tpu.observables import BoxFootprint
+    from desilike_tpu.likelihoods import SNWeightedPowerSpectrumLikelihood
+    from desilike_tpu.fisher import Fisher
+    import jax.numpy as jnp
+
+    def make(volume):
+        theory = KaiserTracerPowerSpectrumMultipoles(
+            ells=(0, 2), template=ShapeFitPowerSpectrumTemplate(z=1.), mu=6)
+        return SNWeightedPowerSpectrumLikelihood(
+            theories=[theory], data={'b1': 2.0}, footprints=BoxFootprint(volume=volume, nbar=1e-3),
+            klim=(0.02, 0.2), mu=10)
+
+    like = make(1e9)
+    fn = like.logpost_fn()
+    lp0, _ = fn({'b1': jnp.asarray(2.0)})
+    lp1, _ = fn({'b1': jnp.asarray(2.1)})
+    assert np.isfinite(float(lp0)) and float(lp0) > float(lp1)
+    fisher = Fisher(like)
+    f1 = fisher(b1=2.0)
+    sig1 = f1.std('b1')
+    like8 = make(8e9)
+    f8 = Fisher(like8)(b1=2.0)
+    assert f8.std('b1') == pytest.approx(sig1 / np.sqrt(8.), rel=0.05)

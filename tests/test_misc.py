@@ -98,3 +98,24 @@ def test_montepython_generator():
     code = gen.generate()
     ast.parse(code)
     assert 'def loglkl(' in code
+
+
+def test_vmap_error_policies():
+    """vmap facade error capture: 'raise' names failed indices, 'ref'
+    substitutes the reference-state output (reference base.py:232-258)."""
+    import jax.numpy as jnp
+    from desilike_tpu.core.collection import vmap as pipe_vmap
+
+    def fn(values):
+        x = values['x']
+        return {'y': jnp.where(x > 0, jnp.log(x), jnp.nan) * jnp.ones(3)}
+
+    batch = {'x': jnp.asarray([1., -1., 2.])}
+    out = pipe_vmap(fn, errors='nan')(batch)
+    assert np.isnan(np.asarray(out['y'][1])).all() and np.isfinite(np.asarray(out['y'][0])).all()
+    import pytest
+    with pytest.raises(FloatingPointError, match=r'\[1\]'):
+        pipe_vmap(fn, errors='raise')(batch)
+    out = pipe_vmap(fn, errors='ref', ref_values={'x': 1.})(batch)
+    np.testing.assert_allclose(np.asarray(out['y'][1]), 0.)  # log(1) substituted
+    np.testing.assert_allclose(np.asarray(out['y'][2]), np.log(2.))

@@ -78,3 +78,33 @@ def test_chain_getdist_roundtrip(tmp_path):
     chain.write_getdist(str(tmp_path / 'c'))
     loaded = Chain.from_getdist(str(tmp_path / 'c'))
     np.testing.assert_allclose(np.asarray(loaded['x']), np.asarray(chain['x']), rtol=1e-5)
+
+
+def test_direct_wiggle_split_template():
+    """DirectWiggleSplit: qbao moves only the wiggles; sigmabao damps them;
+    qbao=1, sigmabao=0 reduces to the Direct template (reference
+    power_template.py:1346)."""
+    from desilike_tpu.theories import DirectWiggleSplitPowerSpectrumTemplate, DirectPowerSpectrumTemplate
+    from desilike_tpu.core import Pipeline
+    k = np.logspace(-2.2, -0.3, 200)
+    tmpl = DirectWiggleSplitPowerSpectrumTemplate(k=k, z=1.)
+    pipe = Pipeline(tmpl)
+    pipe.evaluate({})
+    base = np.asarray(tmpl.pk_dd)
+    nowig = np.asarray(tmpl.pknow_dd)
+    ref = DirectPowerSpectrumTemplate(k=k, z=1.)
+    Pipeline(ref).evaluate({})
+    np.testing.assert_allclose(base, np.asarray(ref.pk_dd), rtol=1e-4)
+    # qbao moves the wiggles, leaves the broadband untouched
+    pipe.evaluate({'qbao': 1.05})
+    moved = np.asarray(tmpl.pk_dd)
+    np.testing.assert_allclose(np.asarray(tmpl.pknow_dd), nowig, rtol=1e-6)
+    assert not np.allclose(moved, base, rtol=1e-3)
+    # strong damping kills the wiggles entirely
+    pipe.evaluate({'sigmabao': 50.})
+    damped = np.asarray(tmpl.pk_dd)
+    inner = (k > 0.05) & (k < 0.3)
+    np.testing.assert_allclose(damped[inner], nowig[inner], rtol=1e-3)
+    # cosmology response still flows through (direct template underneath)
+    pipe.evaluate({'omega_cdm': 0.13})
+    assert not np.allclose(np.asarray(tmpl.pk_dd), base, rtol=1e-3)

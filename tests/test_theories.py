@@ -110,3 +110,17 @@ def test_jit_consistency():
     vals = {p.name: jnp.asarray(p.value) for p in pipe.varied_params}
     jitted = np.asarray(fn({**vals, 'qpar': jnp.asarray(1.01), 'b1': jnp.asarray(1.9)}))
     np.testing.assert_allclose(eager, jitted, rtol=1e-5)
+
+
+def test_des_y3_wrapper_gated():
+    """DESY3Theory: parameter map is complete; import-gated on cosmosis
+    (reference theories/weak_lensing/des_y3.py:6)."""
+    import pytest
+    from desilike_tpu.theories import DESY3Theory, DES_Y3_PARAM_MAP
+    assert DES_Y3_PARAM_MAP['omega_cdm'] == ('cosmological_parameters', 'omch2')
+    assert DES_Y3_PARAM_MAP['bias_lens_b3'] == ('bias_lens', 'b3')
+    assert DES_Y3_PARAM_MAP['intrinsic_alignment_parameters_a1'] == ('intrinsic_alignment_parameters', 'a1')
+    assert len(DES_Y3_PARAM_MAP) >= 50
+    th = DESY3Theory(ini_file_dir='.', ini_file_name='none.ini', cosmosis_dir='.')
+    with pytest.raises(ImportError, match='cosmosis'):
+        th.runtime_info.initialize()
