@@ -51,19 +51,36 @@ class Cosmology(Calculator):
     @staticmethod
     def _params(init):
         fixed = init.get('fixed', True)
+        theta = bool(init.get('theta', False))
+
+        def is_fixed(name):
+            return True if fixed is True else (name in fixed if hasattr(fixed, '__contains__') else bool(fixed))
+
         params = {}
         for name, cfg in _COSMO_PARAM_DEFAULTS.items():
+            if theta and name == 'h':
+                continue
             cfg = dict(cfg)
-            cfg['fixed'] = True if fixed is True else (name in fixed if hasattr(fixed, '__contains__') else bool(fixed))
+            cfg['fixed'] = is_fixed(name)
             params[name] = cfg
+        if theta:
+            # CosmoMC-style sound-horizon-angle parameterization: h is solved
+            # from 100 theta_* each evaluation (reference
+            # primordial_cosmology.py:60-74)
+            params['theta_MC_100'] = dict(value=1.04109, prior=dict(limits=[0.9, 1.2]),
+                                          ref=dict(dist='norm', loc=1.04109, scale=0.0005),
+                                          fixed=is_fixed('theta_MC_100') and is_fixed('h'),
+                                          latex=r'100\theta_\mathrm{MC}')
+            params['h'] = dict(derived=True, latex='h')
         return params
 
     def initialize(self, fiducial=None, fixed=True, engine='eh98', pk_table=None,
-                   z_grid=None, k_grid=None, zpk_grid=None):
+                   z_grid=None, k_grid=None, zpk_grid=None, theta=False):
         base = dict(bg.DEFAULT_PARAMS)
         if fiducial:
             base.update(fiducial)
         self.fiducial_values = base
+        self._use_theta = bool(theta)
         self.engine = str(engine)
         if self.engine not in ('eh98', 'table', 'external'):
             raise ValueError("engine must be 'eh98' (approximate, self-contained), "
@@ -133,6 +150,22 @@ class Cosmology(Calculator):
     def calculate(self, **params):
         p = dict(self.fiducial_values)
         p.update({k: v for k, v in params.items() if k in p or k in ('A_s',)})
+        if self._use_theta and 'theta_MC_100' in params:
+            # solve h from 100 theta_* by Newton with AD derivatives
+            # (differentiable end to end; theta_* is smooth and monotone in h
+            # so 6 steps from the fiducial converge far below float precision)
+            import jax
+            target = jnp.asarray(params['theta_MC_100'], dtype=jnp.result_type(float))
+
+            def theta_fn(h):
+                return bg.theta_star_100(bg.resolve({**p, 'h': h}))
+
+            h = jnp.asarray(p['h'], dtype=target.dtype)
+            for _ in range(6):
+                val, dval = jax.value_and_grad(theta_fn)(h)
+                h = h - (val - target) / dval
+            p['h'] = h
+            self.h = h
         self.p = bg.resolve(p)
 
     # --- background ---

@@ -70,3 +70,39 @@ def test_neutrino_density():
     massless = P['N_ncdm'] * (7. / 8.) * bg.TNCDM ** 4 * bg.omega_gamma(P)
     assert abs(float(onu_early) / massless - 1.) < 0.02
     assert float(onu_late) > 10 * massless
+
+
+def test_theta_mc_solved_h():
+    """theta parameterization: h is solved from 100 theta_* each evaluation
+    (reference primordial_cosmology.py:60-74), differentiably."""
+    import pytest
+    import jax
+    import jax.numpy as jnp
+    from desilike_tpu.theories.cosmology import Cosmology
+    from desilike_tpu.cosmology import background as bg
+    from desilike_tpu.core import Pipeline
+
+    p_fid = bg.resolve({})
+    theta_fid = float(bg.theta_star_100(p_fid))
+    cosmo = Cosmology(theta=True, fixed=('theta_MC_100',))
+    pipe = Pipeline(cosmo)
+    assert 'theta_MC_100' in pipe.params.names() and 'h' not in pipe.varied_params.names()
+    # at the fiducial theta, recover the fiducial h
+    pipe.evaluate({'theta_MC_100': theta_fid})
+    assert float(cosmo.h) == pytest.approx(p_fid['h'], abs=1e-5)
+    assert float(bg.theta_star_100(cosmo.p)) == pytest.approx(theta_fid, rel=1e-6)
+    # shifted theta: the solve hits the requested angle, h responds
+    pipe.evaluate({'theta_MC_100': theta_fid * 1.01})
+    assert float(bg.theta_star_100(cosmo.p)) == pytest.approx(theta_fid * 1.01, rel=1e-6)
+    assert float(cosmo.h) != pytest.approx(p_fid['h'], abs=1e-3)
+    # differentiable through the Newton solve (dh/dtheta via the whole graph)
+    fn = pipe.get_fn()
+
+    def h_of_theta(t):
+        pipe.run_once(dict(pipe.input_defaults(), theta_MC_100=t))
+        return cosmo.h
+    g = float(jax.grad(h_of_theta)(jnp.asarray(theta_fid)))
+    eps = 1e-4
+    fd = (float(jax.jit(h_of_theta)(jnp.asarray(theta_fid + eps)))
+          - float(jax.jit(h_of_theta)(jnp.asarray(theta_fid - eps)))) / (2 * eps)
+    assert g == pytest.approx(fd, rel=1e-3)
