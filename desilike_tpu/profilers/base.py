@@ -216,11 +216,34 @@ class BaseProfiler(BaseClass):
 
 class ScipyProfiler(BaseProfiler):
     """L-BFGS-B with jitted autodiff gradients (reference profilers/scipy.py:8,
-    with the gradient now exact instead of numerical)."""
+    with the gradient now exact instead of numerical).
+
+    ``method='nelder-mead'`` or ``'powell'`` switch to derivative-free
+    minimization — the robust fallback the reference gets from Minuit/BOBYQA
+    (profilers/minuit.py:9, bobyqa.py:8) for posteriors whose gradients are
+    unreliable (e.g. emulated or externally-wrapped theories)."""
+
+    def __init__(self, likelihood, method='l-bfgs-b', **kwargs):
+        super().__init__(likelihood, **kwargs)
+        self.method = str(method).lower().replace('_', '-')
 
     def _minimize_one(self, start):
-        x, fun = self._minimize_fn(self.chi2, start, self._bounds())
-        return x, -0.5 * fun
+        if self.method in ('l-bfgs-b', 'lbfgsb'):
+            x, fun = self._minimize_fn(self.chi2, start, self._bounds())
+            return x, -0.5 * fun
+        from scipy import optimize
+        import jax
+        chi2 = jax.jit(self.chi2)
+
+        def f(x):
+            val = float(chi2(jnp.asarray(x)))
+            return val if np.isfinite(val) else 1e30
+
+        res = optimize.minimize(f, np.asarray(start), method=self.method,
+                                bounds=self._bounds(),
+                                options={'maxiter': 5000, 'xatol': 1e-8, 'fatol': 1e-10}
+                                if self.method == 'nelder-mead' else None)
+        return np.asarray(res.x), -0.5 * float(res.fun)
 
 
 class OptaxProfiler(BaseProfiler):

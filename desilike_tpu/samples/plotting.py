@@ -152,3 +152,70 @@ def plot_profile(profiles, params=None, fn=None, show=False):
     if show:
         plt.show()
     return fig
+
+
+def plot_triangle_getdist(chains, params=None, labels=None, fn=None, show=False, **kwargs):
+    """Triangle plot through getdist (reference plotting.py plot_triangle):
+    chains/fishers are converted with their ``to_getdist`` methods. Gated on
+    the getdist package; the in-framework ``plot_triangle`` needs nothing."""
+    try:
+        from getdist import plots
+    except ImportError as exc:
+        raise ImportError('plot_triangle_getdist requires getdist; '
+                          'use plot_triangle (in-framework) instead') from exc
+    if not isinstance(chains, (list, tuple)):
+        chains = [chains]
+    labels = labels or [None] * len(chains)
+    samples = [c.to_getdist(params=params, label=lab) for c, lab in zip(chains, labels)]
+    g = plots.get_subplot_plotter()
+    g.triangle_plot(samples, params=[str(p) for p in (params or samples[0].getParamNames().list())],
+                    filled=True, **kwargs)
+    if fn:
+        g.export(fn)
+    if show:
+        from matplotlib import pyplot as plt
+        plt.show()
+    return g
+
+
+def to_anesthetic(chain, params=None):
+    """anesthetic.MCMCSamples view of a Chain (reference samples/chain.py
+    to_anesthetic). Gated on the anesthetic package."""
+    try:
+        from anesthetic import MCMCSamples
+    except ImportError as exc:
+        raise ImportError('to_anesthetic requires the anesthetic package') from exc
+    import numpy as np
+    pts, names = chain.points(params)
+    labels = {}
+    for name in names:
+        if name in chain.params and chain.params[name].latex:
+            labels[name] = '$' + chain.params[name].latex + '$'
+    return MCMCSamples(data=pts, columns=names, weights=chain.weight.reshape(-1), labels=labels)
+
+
+def plot_covariance_matrix(covariance, names=None, corrcoef=True, fn=None, show=False):
+    """Correlation/covariance heatmap (reference plotting.py
+    plot_covariance_matrix)."""
+    import numpy as np
+    from matplotlib import pyplot as plt
+    cov = getattr(covariance, 'view', lambda: covariance)()
+    cov = np.atleast_2d(np.asarray(cov))
+    if names is None and hasattr(covariance, 'names'):
+        names = covariance.names()
+    mat = cov
+    if corrcoef:
+        sig = np.sqrt(np.diag(cov))
+        mat = cov / np.outer(sig, sig)
+    fig, ax = plt.subplots(figsize=(1. + 0.5 * len(mat),) * 2)
+    im = ax.imshow(mat, vmin=-1. if corrcoef else None, vmax=1. if corrcoef else None,
+                   cmap='RdBu_r')
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    if names is not None:
+        ax.set_xticks(range(len(names)), [str(n) for n in names], rotation=90)
+        ax.set_yticks(range(len(names)), [str(n) for n in names])
+    if fn:
+        fig.savefig(fn, bbox_inches='tight')
+    if show:
+        plt.show()
+    return fig

@@ -165,3 +165,14 @@ def test_sn_weighted_power_spectrum_likelihood():
     like8 = make(8e9)
     f8 = Fisher(like8)(b1=2.0)
     assert f8.std('b1') == pytest.approx(sig1 / np.sqrt(8.), rel=0.05)
+
+
+def test_profiler_derivative_free():
+    """Nelder-Mead / Powell fallback matches the gradient path (reference's
+    Minuit/BOBYQA-class robust profilers)."""
+    like = GaussianModel()
+    for method in ('nelder-mead', 'powell'):
+        prof = ScipyProfiler(like, method=method)
+        best = prof.maximize(niterations=1).choice()
+        assert best['a'] == pytest.approx(1.0, abs=0.02), method
+        assert best['b'] == pytest.approx(-0.5, abs=0.02), method

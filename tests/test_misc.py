@@ -119,3 +119,32 @@ def test_vmap_error_policies():
     out = pipe_vmap(fn, errors='ref', ref_values={'x': 1.})(batch)
     np.testing.assert_allclose(np.asarray(out['y'][1]), 0.)  # log(1) substituted
     np.testing.assert_allclose(np.asarray(out['y'][2]), np.log(2.))
+
+
+def test_plotting_adapters():
+    """Covariance heatmap renders; getdist/anesthetic adapters are cleanly
+    gated when the packages are absent (reference plotting.py adapters)."""
+    import pytest
+    import matplotlib
+    matplotlib.use('Agg')
+    from desilike_tpu.samples import plotting
+    from desilike_tpu.parameters import ParameterCovariance
+    cov = np.array([[1., 0.5], [0.5, 2.]])
+    fig = plotting.plot_covariance_matrix(ParameterCovariance(cov, ['a', 'b']))
+    assert fig is not None
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+    from desilike_tpu.samples.chain import Chain
+    chain = Chain()
+    chain['x'] = np.random.default_rng(0).normal(size=100)
+    chain['logposterior'] = np.zeros(100)
+    try:
+        import getdist  # noqa
+        has_getdist = True
+    except ImportError:
+        has_getdist = False
+    if not has_getdist:
+        with pytest.raises(ImportError, match='getdist'):
+            plotting.plot_triangle_getdist(chain)
+        with pytest.raises(ImportError, match='anesthetic'):
+            plotting.to_anesthetic(chain)
