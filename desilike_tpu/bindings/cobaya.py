@@ -56,15 +56,10 @@ def gather_cobaya_products(provider, node):
                 'fsigma8_tab': np.asarray(provider.get_fsigma8(z), dtype='f8'),
                 'sigma8_tab': np.asarray(provider.get_sigma8_z(z), dtype='f8')}
     kmpc, zpk, pk = provider.get_Pk_grid(var_pair=('delta_tot', 'delta_tot'), nonlinear=False)
-    kh, zpk = np.asarray(kmpc, dtype='f8') / h, np.asarray(zpk, dtype='f8')
-    lnpk = np.log(np.asarray(pk, dtype='f8') * h ** 3)  # (nzpk_prov, nk_prov)
-    rows = np.empty((len(node.zpk_grid), len(node.k_grid)))
-    for i, zz in enumerate(node.zpk_grid):
-        iz = int(np.clip(np.searchsorted(zpk, zz) - 1, 0, len(zpk) - 2))
-        t = float(np.clip((zz - zpk[iz]) / (zpk[iz + 1] - zpk[iz]), 0., 1.)) if len(zpk) > 1 else 0.
-        row = (1. - t) * lnpk[iz] + t * lnpk[iz + 1]
-        rows[i] = np.interp(np.log(node.k_grid), np.log(kh), row)
-    products['pk_tab'] = np.exp(rows)
+    from .base import regrid_pk
+    products['pk_tab'] = regrid_pk(np.asarray(kmpc, dtype='f8') / h, zpk,
+                                   np.log(np.asarray(pk, dtype='f8') * h ** 3),
+                                   node.zpk_grid, node.k_grid)
     return products
 
 

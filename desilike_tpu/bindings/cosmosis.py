@@ -1,6 +1,71 @@
-"""CosmoSIS binding generator (reference bindings/cosmosis/factory.py)."""
+"""CosmoSIS binding generator (reference bindings/cosmosis/factory.py).
 
-from .base import BaseLikelihoodGenerator
+Host-cosmology injection (reference cosmosis/factory.py + base.py:574-598):
+when the pipeline holds external nodes, the generated module reads the
+datablock's distances / matter_power_lin / growth sections and injects them
+per evaluation (traced arguments, never retraces)."""
+
+import numpy as np
+
+from .base import BaseLikelihoodGenerator, regrid_pk
+
+
+def gather_cosmosis_products(block, node):
+    """Products from a cosmosis datablock in its conventions (distances in
+    Mpc, H(z) in 1/Mpc with c=1, matter_power_lin already in h-units),
+    converted to the framework's h-units on the node grids."""
+    h = float(block['cosmological_parameters', 'h0'])
+    zb = np.asarray(block['distances', 'z'], dtype='f8')
+    order = np.argsort(zb)
+    zb = zb[order]
+    Hb = np.asarray(block['distances', 'h'], dtype='f8')[order]
+    dm = np.asarray(block['distances', 'd_m'], dtype='f8')[order]
+    z = np.asarray(node.z_grid, dtype='f8')
+    H0 = np.interp(0., zb, Hb)
+    products = {'efunc_tab': np.interp(z, zb, Hb) / H0,
+                'chi_tab': np.interp(z, zb, dm) * h,
+                'rs_drag_tab': float(block['distances', 'rs_zdrag']) * h}
+    kh = np.asarray(block['matter_power_lin', 'k_h'], dtype='f8')
+    zpk = np.asarray(block['matter_power_lin', 'z'], dtype='f8')
+    pk = np.asarray(block['matter_power_lin', 'p_k'], dtype='f8')
+    products['pk_tab'] = regrid_pk(kh, zpk, np.log(pk), node.zpk_grid, node.k_grid)
+    if block.has_value('growth_parameters', 'fsigma_8'):
+        zg = np.asarray(block['growth_parameters', 'z'], dtype='f8')
+        products['fsigma8_tab'] = np.interp(z, zg, np.asarray(block['growth_parameters', 'fsigma_8'], dtype='f8'))
+        products['sigma8_tab'] = np.interp(z, zg, np.asarray(block['growth_parameters', 'sigma_8'], dtype='f8'))
+    else:
+        s8, fs8 = growth_from_pk_table(zpk, kh, pk, z)
+        products['sigma8_tab'], products['fsigma8_tab'] = s8, fs8
+    return products
+
+
+def growth_from_pk_table(zpk, kh, pk, z_out):
+    """(sigma8(z), fsigma8(z)) from a pk(z, k) table alone: tophat-filtered
+    amplitude per z row, growth rate from d ln sigma8 / d ln a by finite
+    differences — the fallback when the host exposes no growth section."""
+    from ..cosmology.linear import tophat_window
+    kh = np.asarray(kh, dtype='f8')
+    pk = np.atleast_2d(np.asarray(pk, dtype='f8'))
+    zpk = np.asarray(zpk, dtype='f8')
+    w = np.asarray(tophat_window(kh * 8.)) ** 2 * kh ** 3
+    wk = np.zeros_like(kh)
+    dlnk = np.diff(np.log(kh))
+    wk[:-1] += dlnk / 2.
+    wk[1:] += dlnk / 2.
+    s8_rows = np.sqrt(np.einsum('zk,k->z', pk, w * wk) / (2. * np.pi ** 2))
+    if len(zpk) < 2:
+        raise ValueError('growth from the pk table needs >= 2 redshift rows')
+    lna = -np.log1p(zpk)
+    dlns8 = np.gradient(np.log(s8_rows), lna)
+    s8 = np.exp(np.interp(z_out, zpk, np.log(s8_rows)))
+    f = np.interp(z_out, zpk, dlns8)
+    return s8, f * s8
+
+
+def inject_from_cosmosis(like, block):
+    """Inject the datablock's current cosmology into every external node."""
+    for _, node in like.pipeline.external_nodes():
+        node.inject(**gather_cosmosis_products(block, node))
 
 
 class CosmoSISLikelihoodGenerator(BaseLikelihoodGenerator):

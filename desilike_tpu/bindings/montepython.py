@@ -1,6 +1,39 @@
-"""MontePython binding generator (reference bindings/montepython/factory.py)."""
+"""MontePython binding generator (reference bindings/montepython/factory.py).
+
+Host-cosmology injection: MontePython hands the likelihood a classy
+instance; external nodes consume its background/pk products per evaluation
+(reference montepython/factory.py + base.py:574-598)."""
+
+import numpy as np
 
 from .base import BaseLikelihoodGenerator
+
+
+def gather_classy_products(cosmo, node):
+    """Products from a classy instance (CLASS conventions: H in 1/Mpc,
+    distances in Mpc, pk in Mpc^3 vs k in 1/Mpc), converted to h-units."""
+    h = float(cosmo.h())
+    z = np.asarray(node.z_grid, dtype='f8')
+    H0 = float(cosmo.Hubble(0.))
+    efunc = np.array([float(cosmo.Hubble(zz)) for zz in z]) / H0
+    chi = np.array([float(cosmo.angular_distance(zz)) * (1. + zz) for zz in z]) * h
+    products = {'efunc_tab': efunc, 'chi_tab': chi,
+                'rs_drag_tab': float(cosmo.rs_drag()) * h}
+    kh = np.asarray(node.k_grid, dtype='f8')
+    zpk = np.asarray(node.zpk_grid, dtype='f8')
+    pk = np.array([[float(cosmo.pk_lin(kk * h, zz)) for kk in kh] for zz in zpk]) * h ** 3
+    products['pk_tab'] = pk
+    s8 = np.array([float(cosmo.sigma(8. / h, zz)) for zz in z])
+    f = np.array([float(cosmo.scale_independent_growth_factor_f(zz)) for zz in z])
+    products['sigma8_tab'] = s8
+    products['fsigma8_tab'] = f * s8
+    return products
+
+
+def inject_from_classy(like, cosmo):
+    """Inject the classy instance's cosmology into every external node."""
+    for _, node in like.pipeline.external_nodes():
+        node.inject(**gather_classy_products(cosmo, node))
 
 
 class MontePythonLikelihoodGenerator(BaseLikelihoodGenerator):

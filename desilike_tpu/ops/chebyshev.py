@@ -117,5 +117,25 @@ class ChebyshevLogInterp:
             out = jnp.exp(out)
         return out
 
+    def evaluation_matrix(self, k):
+        """Static (npts, order) design matrix T_j(x(k)) for FIXED evaluation
+        points (host-side numpy): evaluation becomes ONE matmul
+        (``evaluate_static``), which maps to the MXU — versus the Clenshaw
+        recurrence whose order-long sequential chain is VPU-bound. Use for
+        every static grid in a hot path (loop integrands, fixed quadratures)."""
+        lnk = np.log(np.asarray(k, dtype='f8')).ravel()
+        x = np.clip((lnk - self.lo) / (self.hi - self.lo) * 2. - 1., -1., 1.)
+        theta = np.arccos(x)
+        return np.cos(np.outer(theta, np.arange(self.order)))
+
+    def evaluate_static(self, coeffs, matrix):
+        """coeffs (..., order), matrix from ``evaluation_matrix`` -> y at the
+        matrix's (static) points."""
+        coeffs = jnp.asarray(coeffs)
+        out = jnp.einsum('pc,...c->...p', jnp.asarray(matrix, dtype=coeffs.dtype), coeffs)
+        if self.log_values:
+            out = jnp.exp(out)
+        return out
+
     def __call__(self, values, k):
         return self.evaluate(self.coeffs(values), k)

@@ -5,3 +5,4 @@ from .nuts import NUTSSampler
 from .deterministic import GridSampler, QMCSampler, ImportanceSampler
 from .hmc import HMCSampler, MCLMCSampler
 from .nested import NestedSampler
+from .chees import ChEESSampler

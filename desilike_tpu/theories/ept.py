@@ -75,7 +75,27 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
             self.loop = OneLoopIntegrals(self.k_work, nr=int(nr), nx=int(nx))
         self._work_cheb = ChebyshevLogInterp(self.k_work, log_values=False)
         self._tmpl_lims = (self.template.init['k'][0], self.template.init['k'][-1])
+        self._loop_eval_mat = None  # built lazily (needs the template's basis)
         self._set_eft_matrices()
+
+    def _loop_static_setup(self):
+        """Static Chebyshev design matrix from the template basis to ALL the
+        loop-path grids (decomposition samples, k_work, the (k, r) radial
+        product grid, the sigma_v2 quadrature): per evaluation the linear pk
+        lands on every loop grid with ONE (npts, order) matmul on the MXU,
+        replacing ~25k Clenshaw recurrences whose order-long sequential
+        chains are VPU-bound (the dominant cost of the fused EPT program)."""
+        from ..ops.spt_fftlog import SIGMA_V2_Q
+        loop = self.loop
+        kq = np.outer(loop.k, loop.r).ravel()
+        pts = np.concatenate([loop.x_grid, loop.k, kq, SIGMA_V2_Q])
+        self._loop_eval_mat = self.template._cheb.evaluation_matrix(pts)
+        lo, hi = self._tmpl_lims
+        self._loop_mask = ((pts > lo) & (pts < hi)).astype('f8')
+        self._loop_sizes = (len(loop.x_grid), len(loop.k), kq.size, len(SIGMA_V2_Q))
+        # k_work must sit inside the template range for pk_lin to be exact
+        n1, n2 = self._loop_sizes[:2]
+        assert self._loop_mask[n1:n1 + n2].all(), 'k_work outside the template k range'
 
     def _set_eft_matrices(self):
         def build(base):
@@ -106,8 +126,22 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         return fn
 
     def calculate(self, b1=1.7, b2=0., bs=0., sn0=0., **params):
-        t = self.loop.tables(self._pk_fn())
-        pk_lin_w = self.template.pk_dd_interp(jnp.asarray(self.k_work))
+        from ..ops.spt_fftlog import FFTLogOneLoop
+        if isinstance(self.loop, FFTLogOneLoop):
+            if self._loop_eval_mat is None:
+                self._loop_static_setup()
+            coeffs = self.template.pk_dd_coeffs()
+            vals = self.template._cheb.evaluate_static(coeffs, self._loop_eval_mat)
+            vals = vals * jnp.asarray(self._loop_mask, dtype=vals.dtype)
+            n1, n2, n3, n4 = self._loop_sizes
+            pk_x = vals[:n1]
+            pk_k = vals[n1:n1 + n2]
+            pk_kq = vals[n1 + n2:n1 + n2 + n3].reshape(n2, -1)
+            t = self.loop.tables_from_arrays(pk_x, pk_k, pk_kq, vals[-n4:])
+            pk_lin_w = pk_k
+        else:
+            t = self.loop.tables(self._pk_fn())
+            pk_lin_w = self.template.pk_dd_interp(jnp.asarray(self.k_work))
         # assemble on the working grid (McDonald-Roy basis)
         pgg_dd = (b1 ** 2 * (pk_lin_w + t['p22_dd'] + t['p13_dd'])
                   + 2. * b1 * b2 * t['pb2_d'] + 2. * b1 * bs * t['pbs2_d']

@@ -81,13 +81,21 @@ class BasePowerSpectrumTemplate(Calculator):
 
     # interpolation helpers used by theory models (Chebyshev spectral tables;
     # coefficients cached by table identity within a trace)
-    def _cheb_interp(self, name, k):
+    def _cheb_coeffs(self, name):
         values = getattr(self, name)
         cached = self._cheb_cache.get(name)
         if cached is None or cached[0] is not values:
             cached = (values, self._cheb.coeffs(jnp.asarray(values)))
             self._cheb_cache[name] = cached
-        return self._cheb.evaluate(cached[1], k)
+        return cached[1]
+
+    def _cheb_interp(self, name, k):
+        return self._cheb.evaluate(self._cheb_coeffs(name), k)
+
+    def pk_dd_coeffs(self):
+        """Chebyshev coefficients of the current pk_dd (cached per trace) —
+        pair with ``self._cheb.evaluate_static`` for static-grid consumers."""
+        return self._cheb_coeffs('pk_dd')
 
     def pk_dd_interp(self, k):
         return self._cheb_interp('pk_dd', k)

@@ -166,3 +166,118 @@ def test_generated_logic_without_host(tmp_path):
     lp, aux = like._compiled_logpost({'qpar': jnp.asarray(1.0), 'qper': jnp.asarray(1.0),
                                       'b1': jnp.asarray(2.0), 'dbeta': jnp.asarray(1.0)})
     assert np.isfinite(float(aux['loglikelihood']))
+
+
+class FakeBlock:
+    """cosmosis datablock stand-in built from EH98 (cosmosis conventions:
+    distances in Mpc, H in 1/Mpc (c=1), matter_power_lin in h-units)."""
+
+    C_KMS = 299792.458
+
+    def __init__(self, params=None):
+        import jax.numpy as jnp
+        from desilike_tpu.cosmology import background as bg, linear as lin
+        p = bg.resolve(dict(params or {}))
+        h = float(p['h'])
+        zb = np.linspace(0., 4.5, 60)
+        kh = np.geomspace(1e-4, 12., 300)
+        zpk = np.linspace(0., 3., 7)
+        self._d = {
+            ('cosmological_parameters', 'h0'): h,
+            ('distances', 'z'): zb,
+            ('distances', 'h'): 100. * h * np.asarray(bg.efunc(p, zb)) / self.C_KMS,
+            ('distances', 'd_m'): np.asarray(bg.comoving_angular_distance(p, zb)) / h,
+            ('distances', 'rs_zdrag'): float(bg.rs_drag(p)) / h,
+            ('matter_power_lin', 'k_h'): kh,
+            ('matter_power_lin', 'z'): zpk,
+            ('matter_power_lin', 'p_k'): np.stack(
+                [np.asarray(lin.pk_lin(p, jnp.asarray(kh), zz)) for zz in zpk]),
+        }
+
+    def __getitem__(self, key):
+        return self._d[key]
+
+    def has_value(self, section, name):
+        return (section, name) in self._d
+
+
+def test_cosmosis_host_cosmology_injection():
+    """inject_from_cosmosis: datablock products (incl. the growth-from-pk
+    fallback) drive the external node like the cobaya provider does."""
+    import jax.numpy as jnp
+    from desilike_tpu.bindings.cosmosis import inject_from_cosmosis
+    like = external_fs_factory()
+    fn = like.logpost_fn()
+    pipe = like.pipeline
+
+    def logp(**vals):
+        values = {k: jnp.asarray(v) for k, v in vals.items()}
+        values.update(pipe.external_values())
+        return float(fn(values)[1]['loglikelihood'])
+
+    inject_from_cosmosis(like, FakeBlock())
+    lp_fid = logp(b1=2.0)
+    node = pipe.external_nodes()[0][1]
+    # growth fallback is close to the EH98 truth
+    from desilike_tpu.cosmology import background as bg, linear as lin
+    p = bg.resolve({})
+    assert node.sigma8_tab[0] == pytest.approx(float(lin.sigma_r(p, 8., 0.)), rel=0.01)
+    f_true = float(bg.growth_rate(p, 1.))
+    i1 = np.argmin(np.abs(node.z_grid - 1.))
+    assert node.fsigma8_tab[i1] / node.sigma8_tab[i1] == pytest.approx(f_true, rel=0.05)
+    inject_from_cosmosis(like, FakeBlock({'h': 0.70, 'omega_cdm': 0.125}))
+    lp_shift = logp(b1=2.0)
+    assert np.isfinite(lp_fid) and np.isfinite(lp_shift) and lp_shift < lp_fid - 1.0
+
+
+class FakeClassy:
+    """classy stand-in built from EH98 (CLASS conventions)."""
+
+    C_KMS = 299792.458
+
+    def __init__(self, params=None):
+        from desilike_tpu.cosmology import background as bg, linear as lin
+        self._bg, self._lin = bg, lin
+        self.p = bg.resolve(dict(params or {}))
+        self._h = float(self.p['h'])
+
+    def h(self):
+        return self._h
+
+    def Hubble(self, z):
+        return 100. * self._h * float(self._bg.efunc(self.p, z)) / self.C_KMS
+
+    def angular_distance(self, z):
+        return float(self._bg.comoving_angular_distance(self.p, z)) / self._h / (1. + z)
+
+    def rs_drag(self):
+        return float(self._bg.rs_drag(self.p)) / self._h
+
+    def pk_lin(self, k_mpc, z):
+        import jax.numpy as jnp
+        return float(self._lin.pk_lin(self.p, jnp.asarray([k_mpc / self._h]), z)[0]) / self._h ** 3
+
+    def sigma(self, R_mpc, z):
+        return float(self._lin.sigma_r(self.p, R_mpc * self._h, z))
+
+    def scale_independent_growth_factor_f(self, z):
+        return float(self._bg.growth_rate(self.p, z))
+
+
+def test_montepython_host_cosmology_injection():
+    import jax.numpy as jnp
+    from desilike_tpu.bindings.montepython import inject_from_classy
+    like = external_fs_factory()
+    fn = like.logpost_fn()
+    pipe = like.pipeline
+
+    def logp(**vals):
+        values = {k: jnp.asarray(v) for k, v in vals.items()}
+        values.update(pipe.external_values())
+        return float(fn(values)[1]['loglikelihood'])
+
+    inject_from_classy(like, FakeClassy())
+    lp_fid = logp(b1=2.0)
+    inject_from_classy(like, FakeClassy({'h': 0.70, 'omega_cdm': 0.125}))
+    lp_shift = logp(b1=2.0)
+    assert np.isfinite(lp_fid) and np.isfinite(lp_shift) and lp_shift < lp_fid - 1.0

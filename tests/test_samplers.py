@@ -182,3 +182,24 @@ def test_batch_sample_resume_all_samplers(sampler_name):
                            max_gr=1.5, min_ess=10, **run_kwargs)
     assert chain.shape[0] >= 200
     assert np.isfinite(chain.mean('a'))
+
+
+def test_chees_manychain_mixing():
+    """ChEES fixed-budget HMC: dense vmapped batch (no per-chain tree
+    lockstep), GR ~ 1 at 1024 chains with a short warmup — the many-chain
+    scale-out kernel (arXiv:2110.11576; CLAUDE.md known-issue follow-up)."""
+    from desilike_tpu.samplers import ChEESSampler
+    like = GaussianModel()
+    sampler = ChEESSampler(like, seed=13, nchains=1024)
+    chain = sampler.run(nsteps=150, nwarmup=200).remove_burnin(0.3)
+    cov = analytic_cov()
+    for i, name in enumerate(('a', 'b')):
+        assert chain.mean(name) == pytest.approx(GaussianModel._mean[i], abs=3 * np.sqrt(cov[i, i]) / 30)
+        assert chain.std(name) == pytest.approx(np.sqrt(cov[i, i]), rel=0.1)
+    gr = chain.gelman_rubin(('a', 'b'))
+    assert np.all(gr < 1.05), gr
+    assert 0.4 < sampler.diagnostics['acceptance_rate'] < 0.95
+    # resume continues without re-warmup and stays calibrated
+    more = sampler.run(nsteps=50, resume=True)
+    assert more['a'].shape[0] == 50
+    assert np.isfinite(np.asarray(more['logposterior'])).all()
