@@ -127,6 +127,70 @@ def window_matrix_bininteg(list_edges, resolution=1):
     return xin, full
 
 
+def window_matrix_RR(soutedges, sedges, muedges, wcounts, ellsin=(0, 2, 4), resolution=1):
+    r"""xi window matrix from measured RR(s, mu) pair counts (reference
+    window.py:71): incomplete / non-uniform mu coverage of the random pairs
+    weights the Legendre projection, mixing input multipoles.
+
+    Parameters
+    ----------
+    soutedges : dict ell -> (nout, 2) output bin edges
+    sedges : RR s-edges, (ns+1,) or (ns, 2)
+    muedges : mu-edges, (nmu+1,)
+    wcounts : (ns, nmu) RR weighted pair counts
+    ellsin : input theory multipoles
+    resolution : bin-integration points per fine RR bin
+
+    Returns (sin, matrix with shape (sum_l nout_l, nellsin * nsin)).
+    """
+    from numpy.polynomial.legendre import Legendre
+    sedges = np.asarray(sedges, dtype='f8')
+    if sedges.ndim == 1:
+        sedges = np.column_stack([sedges[:-1], sedges[1:]])
+    muedges = np.asarray(muedges, dtype='f8')
+    wcounts = np.asarray(wcounts, dtype='f8')
+    ns = len(sedges)
+    sin, binm = window_matrix_bininteg([sedges], resolution=resolution)  # (ns, nsin)
+
+    blocks = []
+    for ellout, edges_out in soutedges.items():
+        edges_out = np.asarray(edges_out, dtype='f8')
+        if edges_out.ndim == 1:
+            edges_out = np.column_stack([edges_out[:-1], edges_out[1:]])
+        start = np.flatnonzero(np.isclose(sedges[:, 0], edges_out[0, 0]))
+        if not start.size:
+            raise ValueError('output edges start {} not found in RR s-edges'.format(edges_out[0, 0]))
+        start = int(start[0])
+        factor = int(np.rint((edges_out[0, 1] - edges_out[0, 0]) / (sedges[start, 1] - sedges[start, 0])))
+        if factor < 1:
+            raise ValueError('RR s-resolution is coarser than the requested output binning')
+        nout = len(edges_out)
+        row = []
+        for ellin in ellsin:
+            integ = (Legendre.basis(ellout) * Legendre.basis(ellin)).integ()
+            legint = integ(muedges[1:]) - integ(muedges[:-1])       # per mu bin
+            # per-fine-bin mu-average coefficient, grouped by output bin
+            M = np.zeros((ns, nout))
+            for iout in range(nout):
+                iin = start + factor * iout
+                wc = wcounts[iin:iin + factor]                       # (factor, nmu)
+                wcmu = wc.sum(axis=0)
+                nonzero = wcmu != 0.
+                frac = wc / np.where(nonzero, wcmu, 1.)
+                covered = np.sum(nonzero * np.diff(muedges))
+                coeff = (2. * ellout + 1.) * np.einsum('fm,m->f', frac, nonzero * legint) \
+                    / (covered if covered > 0. else 1.)
+                # the per-row mu shares frac_f = wc_f / sum_f wc_f carry the
+                # RR s-profile within the output bin as the fine-bin weight
+                # (for uniform randoms RR is volumetric, recovering the
+                # volume-weighted bin integration)
+                M[iin:iin + factor, iout] = coeff
+            row.append(M.T @ binm)                                   # (nout, nsin)
+        blocks.append(row)
+    full = np.block(blocks)
+    return sin, full
+
+
 class WindowedPowerSpectrumMultipoles(Calculator):
     """Window-convolved theory P_l(k) (reference window.py:151).
 
@@ -355,7 +419,7 @@ class WindowedCorrelationFunctionMultipoles(Calculator):
     def _params(init):
         return _template_params(init)
 
-    def initialize(self, slim=None, s=None, ells=None, theory=None,
+    def initialize(self, slim=None, s=None, ells=None, theory=None, wmatrix=None,
                    fiber_collisions=None, systematic_templates=None):
         if theory is None:
             from ..theories.bao import DampedBAOWigglesTracerCorrelationFunctionMultipoles
@@ -382,11 +446,19 @@ class WindowedCorrelationFunctionMultipoles(Calculator):
                 edges = np.concatenate([[ss[0] - (ss[1] - ss[0]) / 2.], (ss[1:] + ss[:-1]) / 2.,
                                         [ss[-1] + (ss[-1] - ss[-2]) / 2.]])
                 self.sedges.append(np.column_stack([edges[:-1], edges[1:]]))
-        xin, full = window_matrix_bininteg([e for e in self.sedges], resolution=3)
+        if isinstance(wmatrix, dict) and 'wcounts' in wmatrix:
+            # RR-count window: measured RR(s, mu) weights the mu projection
+            self.ellsin = tuple(wmatrix.get('ellsin', (0, 2, 4)))
+            xin, full = window_matrix_RR(dict(zip(self.ells, self.sedges)),
+                                         wmatrix['sedges'], wmatrix['muedges'],
+                                         wmatrix['wcounts'], ellsin=self.ellsin,
+                                         resolution=int(wmatrix.get('resolution', 1)))
+        else:
+            xin, full = window_matrix_bininteg([e for e in self.sedges], resolution=3)
+            self.ellsin = self.ells
         self.sin = xin
         self.wmatrix = full
-        self.ellsin = self.ells
-        self.theory.init.update(s=self.sin, ells=self.ells)
+        self.theory.init.update(s=self.sin, ells=self.ellsin)
 
         self._offset = None
         if fiber_collisions is not None:

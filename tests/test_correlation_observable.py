@@ -79,3 +79,45 @@ def test_explicit_window_matrix_path():
     # and is a mild smoothing of the pointwise theory
     interp = np.interp(kobs, kin, direct[0])
     assert np.max(np.abs(smoothed - interp) / np.abs(interp)) < 0.15
+
+
+def test_rr_count_window():
+    """RR-count window (reference window.py:71): uniform full-mu RR counts
+    reduce to plain bin-integration; mu-truncated RR mixes multipoles."""
+    import numpy as np
+    from desilike_tpu.observables.window import (window_matrix_RR, window_matrix_bininteg,
+                                                 WindowedCorrelationFunctionMultipoles)
+    sedges = np.arange(20., 160.1, 4.)
+    muedges = np.linspace(0., 1., 101)
+    # realistic randoms: RR counts proportional to the shell volume
+    vol = (sedges[1:] ** 3 - sedges[:-1] ** 3)
+    wc_uniform = np.broadcast_to(vol[:, None], (len(sedges) - 1, len(muedges) - 1)).copy()
+    soutedges = {}
+    for ell in (0, 2):
+        e = np.arange(40., 120.1, 8.)
+        soutedges[ell] = np.column_stack([e[:-1], e[1:]])
+    sin, W = window_matrix_RR(soutedges, sedges, muedges, wc_uniform, ellsin=(0, 2), resolution=2)
+    # reference comparison: pure bin-integration on the same fine grid
+    sin2, B = window_matrix_bininteg([soutedges[0], soutedges[2]], resolution=8)
+    xi0 = 1. / (1. + (sin / 60.) ** 2)
+    xi2 = -0.5 * xi0
+    flat_in = np.concatenate([xi0, xi2])
+    out_rr = W @ flat_in
+    xi0b = 1. / (1. + (sin2 / 60.) ** 2)
+    flat_in2 = np.concatenate([xi0b, -0.5 * xi0b])
+    out_bin = B @ flat_in2
+    np.testing.assert_allclose(out_rr, out_bin, rtol=1e-3)
+    # truncated mu coverage -> quadrupole leaks into the monopole rows
+    wc_cut = wc_uniform.copy()
+    wc_cut[:, muedges[1:] > 0.8] = 0.
+    _, Wcut = window_matrix_RR(soutedges, sedges, muedges, wc_cut, ellsin=(0, 2), resolution=2)
+    n0 = len(soutedges[0])
+    nsin = len(sin)
+    cross_block = Wcut[:n0, nsin:]
+    assert np.abs(cross_block).max() > 1e-3
+    # end-to-end: the windowed xi accepts the RR spec
+    w = WindowedCorrelationFunctionMultipoles(
+        slim={0: (40., 120., 8.), 2: (40., 120., 8.)},
+        wmatrix=dict(sedges=sedges, muedges=muedges, wcounts=wc_cut, ellsin=(0, 2)))
+    flat = np.asarray(w.pipeline.evaluate({'b1': 2.0}))
+    assert flat.shape == (20,) and np.isfinite(flat).all()
