@@ -140,6 +140,26 @@ def p13_radial_kernels(r, nx=200, eps=1e-3):
     return tuple(2. * b - a for a, b in zip(k1, k2))
 
 
+def sigma3sq_radial_kernel(r, nmu=400):
+    r"""Radial kernel of the third-order bias spectrum (McDonald & Roy 2009,
+    arXiv:0902.0991; the b3nl sigma_3^2 term):
+
+      P_sig3sq(k) = (k^3 P(k) / (2 pi^2)) \int r^2 dr P(k r) K(r),
+      K(r) = (105/16) (1/2) \int_{-1}^{1} dmu [ D(mu) S(r, mu) + 8/63 ],
+
+    with D = (2/7)(mu^2 - 1) and S = (k.(k-q))^2/(q^2 |k-q|^2) - 1/3 at
+    q = k r (same combination as reference full_shape.py:781). The mu
+    integral is done numerically here (static, host-side)."""
+    r = np.asarray(r, dtype='f8')[:, None]
+    mu, wmu = np.polynomial.legendre.leggauss(int(nmu))
+    mu = mu[None, :]
+    kq2 = np.clip(1. - 2. * r * mu + r ** 2, 1e-30, None)  # |k-q|^2 / k^2
+    S = (1. - r * mu) ** 2 / (r ** 2 * kq2) - 1. / 3.
+    D = 2. / 7. * (mu ** 2 - 1.)
+    integrand = D * S + 8. / 63.
+    return (105. / 16.) * 0.5 * np.einsum('rm,m->r', integrand, wmu)
+
+
 def p13_kernel_dd_analytic(r):
     """Known closed form of the delta-delta P13 radial kernel: with the
     normalization P13_dd = (k^3 P(k)/(2 pi^2)) int r^2 dr P(kr) K(r),
@@ -247,6 +267,9 @@ class OneLoopIntegrals:
         for ab in ('dd', 'dt', 'tt'):
             K = jnp.asarray(self.K13[ab])
             tables['p13_' + ab] = pref * pk_k * jnp.einsum('kn,n->k', pk_q, K * wr2)
+        # third-order bias (b3nl sigma_3^2 P_lin) term — same radial form
+        Ksig3 = jnp.asarray(sigma3sq_radial_kernel(self.r))
+        tables['p_sig3sq'] = pref * pk_k * jnp.einsum('kn,n->k', pk_q, Ksig3 * wr2)
         # velocity dispersion sigma_v^2 = (1/6 pi^2) int P(q) dq on a static grid
         qs = np.geomspace(1e-4, 20., 256)
         wq = np.zeros_like(qs)

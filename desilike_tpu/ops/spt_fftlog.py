@@ -123,6 +123,8 @@ class FFTLogOneLoop:
         # decomposition through slowly-converging radial kernels
         K13 = p13_radial_kernels(r)
         self.K13 = dict(zip(('p13_dd', 'p13_dt', 'p13_tt'), K13))
+        from .spt import sigma3sq_radial_kernel
+        self.K13['p_sig3sq'] = sigma3sq_radial_kernel(r)
         self.r = r
         self.wr2 = wr * r ** 2
         # static per-k power factors k^{3 + nu_m} and pair factor via outer sums

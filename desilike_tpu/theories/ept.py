@@ -39,6 +39,7 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
             'b1': dict(value=1.7, prior=dict(limits=[0., 4.]), ref=dict(dist='norm', loc=1.7, scale=0.1), delta=0.05, latex='b_1'),
             'b2': dict(value=0., prior=dict(dist='norm', loc=0., scale=5.), ref=dict(dist='norm', loc=0., scale=0.5), delta=0.5, latex='b_2'),
             'bs': dict(value=0., prior=dict(dist='norm', loc=0., scale=5.), ref=dict(dist='norm', loc=0., scale=0.5), delta=0.5, latex='b_s'),
+            'b3nl': dict(value=0., prior=dict(dist='norm', loc=0., scale=5.), ref=dict(dist='norm', loc=0., scale=0.5), delta=0.5, latex='b_{3nl}'),
             'sn0': dict(value=0., prior=dict(dist='norm', loc=0., scale=2.), ref=dict(dist='norm', loc=0., scale=0.1), latex='s_{n,0}'),
         }
         ells = tuple(init.get('ells', (0, 2, 4)))
@@ -125,7 +126,7 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
             return interp(kq) * ((kq > lo) & (kq < hi))
         return fn
 
-    def calculate(self, b1=1.7, b2=0., bs=0., sn0=0., **params):
+    def calculate(self, b1=1.7, b2=0., bs=0., b3nl=0., sn0=0., **params):
         from ..ops.spt_fftlog import FFTLogOneLoop
         if isinstance(self.loop, FFTLogOneLoop):
             if self._loop_eval_mat is None:
@@ -145,9 +146,10 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         # assemble on the working grid (McDonald-Roy basis)
         pgg_dd = (b1 ** 2 * (pk_lin_w + t['p22_dd'] + t['p13_dd'])
                   + 2. * b1 * b2 * t['pb2_d'] + 2. * b1 * bs * t['pbs2_d']
+                  + 2. * b1 * b3nl * t['p_sig3sq']
                   + b2 ** 2 * t['pb22'] + 2. * b2 * bs * t['pb2s2'] + bs ** 2 * t['pbs22'])
         pgg_dt = (b1 * (pk_lin_w + t['p22_dt'] + t['p13_dt'])
-                  + b2 * t['pb2_t'] + bs * t['pbs2_t'])
+                  + b2 * t['pb2_t'] + bs * t['pbs2_t'] + b3nl * t['p_sig3sq'])
         p_tt = pk_lin_w + t['p22_tt'] + t['p13_tt']
 
         f = self.template.f

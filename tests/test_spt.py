@@ -46,7 +46,34 @@ def test_fftlog_matches_quadrature(pk_fn):
     fftl = FFTLogOneLoop(kk, nfft=128, nr=192, nx=64).tables(pk_fn)
     for name, tol in [('p22_dd', 2e-3), ('p22_dt', 2e-3), ('p22_tt', 2e-3),
                       ('p13_dd', 1e-5), ('pb2_d', 5e-3), ('pbs2_d', 5e-3),
-                      ('pb22', 2e-3), ('pb2s2', 2e-3), ('pbs22', 2e-3)]:
+                      ('pb22', 2e-3), ('pb2s2', 2e-3), ('pbs22', 2e-3),
+                      ('p_sig3sq', 1e-5)]:
         a, b = np.asarray(quad[name]), np.asarray(fftl[name])
         scale = np.max(np.abs(a))
         assert np.max(np.abs(a - b)) / scale < tol, name
+
+
+def test_sigma3sq_kernel_limits():
+    """sigma_3^2 radial kernel (McDonald & Roy 2009): analytic UV/IR limits.
+    UV (r >> 1): K -> (105/16)(4/21) = 1.25 (the 8/63 constant piece);
+    IR (r << 1): K -> -(105/16)(4/21)/r^2 = -1.25/r^2."""
+    from desilike_tpu.ops.spt import sigma3sq_radial_kernel
+    K = sigma3sq_radial_kernel(np.array([1e-3, 1e3]))
+    assert K[1] == pytest.approx(1.25, rel=1e-4)
+    assert K[0] * 1e-6 == pytest.approx(-1.25, rel=1e-3)
+
+
+def test_b3nl_response():
+    """b3nl enters linearly through 2 b1 b3nl sigma3sq P in dd and
+    b3nl sigma3sq P in dt (reference full_shape.py:963-968)."""
+    import jax.numpy as jnp
+    from desilike_tpu.theories import EPTTracerPowerSpectrumMultipoles, ShapeFitPowerSpectrumTemplate
+    theory = EPTTracerPowerSpectrumMultipoles(ells=(0, 2), k=np.linspace(0.02, 0.2, 15),
+                                              template=ShapeFitPowerSpectrumTemplate(z=0.8), mu=4)
+    pipe = theory.pipeline
+    p0 = np.asarray(pipe.evaluate({'b1': 2.0, 'b3nl': 0.}))
+    p1 = np.asarray(pipe.evaluate({'b1': 2.0, 'b3nl': 1.}))
+    p2 = np.asarray(pipe.evaluate({'b1': 2.0, 'b3nl': 2.}))
+    resp = p1 - p0
+    assert np.max(np.abs(resp)) > 0.
+    np.testing.assert_allclose(p2 - p1, resp, rtol=1e-4, atol=1e-3)  # exactly linear
