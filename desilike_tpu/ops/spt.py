@@ -142,19 +142,25 @@ def p13_radial_kernels(r, nx=200, eps=1e-3):
 
 def sigma3sq_radial_kernel(r, nmu=400):
     r"""Radial kernel of the third-order bias spectrum (McDonald & Roy 2009,
-    arXiv:0902.0991; the b3nl sigma_3^2 term):
+    arXiv:0902.0991; the b3nl sigma_3^2 term), with the reference's
+    conventions (full_shape.py:771-781 qdkq/S/D and the positive-mu
+    half-range average of utils.weights_mu):
 
       P_sig3sq(k) = (k^3 P(k) / (2 pi^2)) \int r^2 dr P(k r) K(r),
       K(r) = (105/16) (1/2) \int_{-1}^{1} dmu [ D(mu) S(r, mu) + 8/63 ],
 
-    with D = (2/7)(mu^2 - 1) and S = (k.(k-q))^2/(q^2 |k-q|^2) - 1/3 at
-    q = k r (same combination as reference full_shape.py:781). The mu
-    integral is done numerically here (static, host-side)."""
+    with D = (2/7)(mu^2 - 1) and the tidal kernel between the LOOP momenta
+    S = S2(q, k - q) = (q.(k-q))^2/(q^2 |k-q|^2) - 1/3
+      = (mu - r)^2/(1 - 2 r mu + r^2) - 1/3  at q = k r,
+    mu integrated over the full sphere (the integrand is not even in mu;
+    same full-range convention as ops/tns.py). The 8/63 constant cancels
+    the UV (r -> inf) limit exactly, so the term carries no b1
+    renormalization: K(inf) = 0; K(0) = 1."""
     r = np.asarray(r, dtype='f8')[:, None]
     mu, wmu = np.polynomial.legendre.leggauss(int(nmu))
     mu = mu[None, :]
     kq2 = np.clip(1. - 2. * r * mu + r ** 2, 1e-30, None)  # |k-q|^2 / k^2
-    S = (1. - r * mu) ** 2 / (r ** 2 * kq2) - 1. / 3.
+    S = (mu - r) ** 2 / kq2 - 1. / 3.
     D = 2. / 7. * (mu ** 2 - 1.)
     integrand = D * S + 8. / 63.
     return (105. / 16.) * 0.5 * np.einsum('rm,m->r', integrand, wmu)

@@ -54,13 +54,31 @@ def test_fftlog_matches_quadrature(pk_fn):
 
 
 def test_sigma3sq_kernel_limits():
-    """sigma_3^2 radial kernel (McDonald & Roy 2009): analytic UV/IR limits.
-    UV (r >> 1): K -> (105/16)(4/21) = 1.25 (the 8/63 constant piece);
-    IR (r << 1): K -> -(105/16)(4/21)/r^2 = -1.25/r^2."""
+    """sigma_3^2 radial kernel (McDonald & Roy 2009): analytic limits.
+    UV (r >> 1): the 8/63 constant cancels the S2 -> 2/3 limit exactly
+    (no b1 renormalization): K -> 0. IR (r << 1): S2 -> mu^2 - 1/3 and
+    K -> (105/16) [(2/7)(4/45) + 8/63] = 1."""
     from desilike_tpu.ops.spt import sigma3sq_radial_kernel
-    K = sigma3sq_radial_kernel(np.array([1e-3, 1e3]))
-    assert K[1] == pytest.approx(1.25, rel=1e-4)
-    assert K[0] * 1e-6 == pytest.approx(-1.25, rel=1e-3)
+    K = sigma3sq_radial_kernel(np.array([1e-4, 1e4]))
+    assert K[0] == pytest.approx(1.0, rel=1e-3)
+    assert abs(K[1]) < 1e-6
+
+
+def test_sigma3sq_matches_tns_engine():
+    """The spt radial-kernel sigma3sq equals the TNS engine's direct 2D
+    quadrature (independent implementations of the same reference integral,
+    full_shape.py:781)."""
+    import jax.numpy as jnp
+    from desilike_tpu.ops.spt_fftlog import FFTLogOneLoop
+    from desilike_tpu.ops.tns import TNSCorrections
+    from desilike_tpu.cosmology import background as bg, linear as lin
+    p = bg.resolve({})
+    pk_fn = lambda k: lin.pk_lin(p, k, 0.8)
+    kk = np.geomspace(0.03, 0.3, 10)
+    a = np.asarray(FFTLogOneLoop(kk).tables(pk_fn)['p_sig3sq'])
+    c = TNSCorrections(kk).tables(pk_fn)
+    b = np.asarray(c['sig3sq'] * pk_fn(jnp.asarray(kk)))
+    np.testing.assert_allclose(a, b, rtol=0.02)
 
 
 def test_b3nl_response():
