@@ -7,7 +7,8 @@ from .correlation_function import TracerCorrelationFunctionMultipolesObservable
 from .compression import (BaseCompressionObservable, BAOCompressionObservable,
                           ShapeFitCompressionObservable, StandardCompressionObservable,
                           WiggleSplitCompressionObservable, BandVelocityCompressionObservable,
-                          TurnOverCompressionObservable, P1DCompressionObservable)
+                          TurnOverCompressionObservable, P1DCompressionObservable,
+                          BAOPhaseShiftCompressionObservable)
 from .fiber_collisions import (TopHatFiberCollisionsPowerSpectrumMultipoles,
                                FiberCollisionsPowerSpectrumMultipoles,
                                SystematicTemplatePowerSpectrumMultipoles,

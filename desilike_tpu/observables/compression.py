@@ -136,3 +136,15 @@ class P1DCompressionObservable(BaseCompressionObservable):
     def _extractor_cls(self):
         from ..theories.lya import P1DPowerSpectrumExtractor
         return P1DPowerSpectrumExtractor
+
+
+class BAOPhaseShiftCompressionObservable(BaseCompressionObservable):
+    """BAO + neutrino phase shift compression: (DM/rd, DH/rd, baoshift)
+    (reference compression.py:131; arXiv:1803.10741)."""
+
+    _default_quantities = ['DM_over_rd', 'DH_over_rd', 'baoshift']
+
+    @property
+    def _extractor_cls(self):
+        from ..theories.extractors import BAOPhaseShiftExtractor
+        return BAOPhaseShiftExtractor

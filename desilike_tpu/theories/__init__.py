@@ -20,7 +20,7 @@ from .tns import (TNSTracerPowerSpectrumMultipoles, EFTLikeTNSTracerPowerSpectru
                   TNSTracerCorrelationFunctionMultipoles, EFTLikeTNSTracerCorrelationFunctionMultipoles)
 from .extractors import (BAOExtractor, StandardPowerSpectrumExtractor, ShapeFitPowerSpectrumExtractor,
                          WiggleSplitPowerSpectrumExtractor, BandVelocityPowerSpectrumExtractor,
-                         TurnOverPowerSpectrumExtractor)
+                         TurnOverPowerSpectrumExtractor, BAOPhaseShiftExtractor)
 from .png import PNGTracerPowerSpectrumMultipoles
 from .bispectrum import TreeLevelBispectrumMultipoles
 from .lya import P1DPowerSpectrumExtractor

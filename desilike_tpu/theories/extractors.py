@@ -277,3 +277,25 @@ class TurnOverPowerSpectrumExtractor(BAOExtractor):
         self.DV_times_kTO = DV * self.kTO
         self.DM_over_DH = DM / DH
         self.qto = self.DV_times_kTO / self.DV_times_kTO_fid
+
+
+class BAOPhaseShiftExtractor(BAOExtractor):
+    r"""BAO + neutrino-phase-shift extraction (reference :392;
+    arXiv:1803.10741): baoshift measures N_eff through the phase-shift
+    amplitude relative to the fiducial."""
+
+    _params = dict(BAOExtractor._params)
+    _params.update({'baoshift': dict(derived=True, latex=r'\beta_\phi')})
+
+    A_NU = 8. / 7. * (11. / 4.) ** (4. / 3.)
+
+    def initialize(self, *args, **kwargs):
+        super().initialize(*args, **kwargs)
+        p = self.fiducial
+        from .cosmology import TNCDM_NEFF
+        self.N_eff_fid = float(p['N_ur']) + float(p.get('N_ncdm', 1)) * TNCDM_NEFF
+
+    def calculate(self, **params):
+        super().calculate(**params)
+        neff = self.cosmo.N_eff
+        self.baoshift = (neff * (self.N_eff_fid + self.A_NU)) / (self.N_eff_fid * (neff + self.A_NU))

@@ -172,3 +172,25 @@ def test_new_compression_observables():
     lp0, _ = fn({'omega_cdm': jnp.asarray(0.12)})
     lp1, _ = fn({'omega_cdm': jnp.asarray(0.13)})
     assert np.isfinite(float(lp0)) and float(lp0) > float(lp1)
+
+
+def test_baophaseshift_extractor_and_compression():
+    """BAO + neutrino phase shift (reference power_template.py:392,
+    compression.py:131; arXiv:1803.10741): baoshift = 1 at fiducial N_eff,
+    increases with N_ur; compression likelihood peaks at fiducial."""
+    from desilike_tpu.theories import BAOPhaseShiftExtractor
+    from desilike_tpu.observables import BAOPhaseShiftCompressionObservable
+    ext = BAOPhaseShiftExtractor(z=0.8, cosmo=varied_cosmo(('N_ur',)))
+    ext.pipeline.evaluate({})
+    assert float(ext.baoshift) == pytest.approx(1.0, abs=1e-6)
+    data = {'DM_over_rd': float(ext.DM_over_rd), 'DH_over_rd': float(ext.DH_over_rd), 'baoshift': 1.0}
+    ext.pipeline.evaluate({'N_ur': 3.0})
+    assert float(ext.baoshift) > 1.0
+    obs = BAOPhaseShiftCompressionObservable(
+        data=data, covariance=np.diag([0.1 ** 2, 0.1 ** 2, 0.1 ** 2]),
+        z=0.8, cosmo=varied_cosmo(('N_ur',)))
+    like = ObservablesGaussianLikelihood(observables=[obs])
+    fn = like.logpost_fn()
+    lp0 = float(fn({'N_ur': jnp.asarray(2.0328)})[0])
+    lp1 = float(fn({'N_ur': jnp.asarray(3.2)})[0])
+    assert np.isfinite(lp0) and lp0 > lp1
