@@ -408,6 +408,10 @@ class ObservablesGaussianLikelihood(BaseGaussianLikelihood):
         nobs = [len(obs.flatdata) for obs in self.observables]
         self.flatdata = np.concatenate([obs.flatdata for obs in self.observables])
         nmocks = 0
+        if covariance is not None and hasattr(covariance, 'hartlap2007_factor'):
+            # ObservableCovariance: unwrap matrix + mock count
+            nmocks = covariance.nobs or 0
+            covariance = covariance.value
         if covariance is None:
             covs = [obs.covariance for obs in self.observables]
             if all(c is not None for c in covs):

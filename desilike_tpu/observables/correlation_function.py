@@ -26,6 +26,14 @@ class TracerCorrelationFunctionMultipolesObservable(Calculator):
 
     def initialize(self, data=None, covariance=None, slim=None, s=None, ells=None, theory=None,
                    fiber_collisions=None, systematic_templates=None):
+        from .types import ObservableArray, ObservableCovariance
+        self._nobs_input = None
+        if isinstance(covariance, ObservableCovariance):
+            self._nobs_input = covariance.nobs
+            covariance = covariance.value
+        if isinstance(data, ObservableArray):
+            s, ells, slim = list(data.x), tuple(data.projs), None
+            data = data.flatvalue
         self.wmatrix = WindowedCorrelationFunctionMultipoles(
             slim=slim, s=s, ells=ells, theory=theory,
             fiber_collisions=fiber_collisions, systematic_templates=systematic_templates)
@@ -68,7 +76,20 @@ class TracerCorrelationFunctionMultipolesObservable(Calculator):
 
     @property
     def nmocks(self):
-        return len(self.mocks) if self.mocks is not None else 0
+        if self.mocks is not None:
+            return len(self.mocks)
+        return self._nobs_input or 0
+
+    def to_array(self):
+        """Data vector as an ObservableArray (projections = multipoles)."""
+        from .types import ObservableArray
+        out, start = [], 0
+        flat = self.flatdata
+        for ss in self.s:
+            out.append(flat[start:start + len(ss)] if flat is not None else None)
+            start += len(ss)
+        return ObservableArray(x=self.s, value=out if flat is not None else None,
+                               projs=list(self.ells), name='correlation')
 
     def calculate(self, **params):
         self.flattheory = self.wmatrix.flatcorr

@@ -49,6 +49,15 @@ class TracerPowerSpectrumMultipolesObservable(Calculator):
                    shotnoise=None, theory=None, fiber_collisions=None, systematic_templates=None):
         from ..interop import load_power_spectrum_data
         from ..utils import is_sequence
+        from .types import ObservableArray, ObservableCovariance
+
+        self._nobs_input = None
+        if isinstance(covariance, ObservableCovariance):
+            self._nobs_input = covariance.nobs
+            covariance = covariance.value
+        if isinstance(data, ObservableArray):
+            k, ells, klim = list(data.x), tuple(data.projs), None
+            data = data.flatvalue
 
         loaded_data = loaded_mocks = None
         klim_select = klim  # the selection applied to every external input
@@ -117,7 +126,16 @@ class TracerPowerSpectrumMultipolesObservable(Calculator):
 
     @property
     def nmocks(self):
-        return len(self.mocks) if self.mocks is not None else 0
+        if self.mocks is not None:
+            return len(self.mocks)
+        return self._nobs_input or 0
+
+    def to_array(self):
+        """Data vector as an ObservableArray (projections = multipoles)."""
+        from .types import ObservableArray
+        value = self.data if self.flatdata is not None else None
+        return ObservableArray(x=self.k, value=value, projs=list(self.ells),
+                               name=getattr(self, 'name', '') or 'power')
 
     @property
     def footprint(self):

@@ -1,14 +1,41 @@
 """Observable containers: projection-structured data vectors and covariances.
 
-Counterpart of the reference's legacy ``ObservableArray`` /
-``ObservableCovariance`` (observables/types.py:24,511): a flat value vector
-organized by projections (e.g. multipoles) with per-projection coordinates,
-supporting select/slice/rebin and matched covariance views.
+Counterpart of the reference's ``ObservableArray`` / ``ObservableCovariance``
+(observables/types.py:24,511): a flat value vector organized by projections
+(e.g. multipoles) with per-projection coordinates.  Supports the reference's
+container surface — weighted ``slice``/``select``/``rebin``, coordinate
+matching (``xmatch``), flat views, mock-covariance estimation
+(``from_observations`` + Hartlap/Percival factors), template marginalization,
+npz round-trip I/O and plotting — with a simpler internal layout: per
+projection we keep ``x``/``value``/``weights`` vectors and an ``(n, 2)``
+bin-edge array.
 """
+
+import json
 
 import numpy as np
 
-from ..utils import BaseClass, is_sequence
+from ..utils import BaseClass, is_sequence, find_names
+
+
+def _as_slice(sl, size):
+    """Normalize ``sl`` (slice or None) to (start, stop, step) with stop>=0."""
+    if sl is None:
+        sl = slice(None)
+    start, stop, step = sl.indices(size)
+    if step <= 0:
+        raise IndexError('slice step must be positive, got {}'.format(step))
+    return start, stop, step
+
+
+def _default_edges(x):
+    x = np.asarray(x, dtype='f8')
+    if len(x) > 1:
+        mid = (x[1:] + x[:-1]) / 2.
+        e = np.concatenate([[x[0] - (mid[0] - x[0])], mid, [x[-1] + (x[-1] - mid[-1])]])
+    else:
+        e = np.array([x[0] * 0.9, x[0] * 1.1])
+    return np.column_stack([e[:-1], e[1:]])
 
 
 class ObservableArray(BaseClass):
@@ -18,31 +45,50 @@ class ObservableArray(BaseClass):
     ----------
     x : list of arrays
         Coordinates per projection (e.g. k per multipole).
-    value : list of arrays
-        Values per projection.
-    projs : list
+    value : list of arrays, optional
+        Values per projection (NaN if unset).
+    projs : list, optional
         Projection labels (e.g. ells (0, 2, 4)).
     edges : list of (n, 2) arrays, optional
+        Bin edges; derived from midpoints when omitted.
+    weights : list of arrays, optional
+        Per-bin weights used for weighted rebinning (default 1).
+    name : str, optional
+        Observable name (used by ObservableCovariance lookups).
     """
 
-    def __init__(self, x=None, value=None, projs=None, edges=None, attrs=None):
+    def __init__(self, x=None, value=None, projs=None, edges=None, weights=None,
+                 name=None, attrs=None):
+        if isinstance(x, ObservableArray):
+            self.__dict__.update(x.__dict__)
+            return
         if projs is None:
             projs = list(range(len(x)))
+        self.name = str(name or '')
         self.projs = list(projs)
         self.x = [np.asarray(xx, dtype='f8') for xx in x]
-        self.value = [np.asarray(v, dtype='f8') for v in value] if value is not None \
-            else [np.zeros(len(xx)) for xx in self.x]
+        if value is not None:
+            self.value = [np.asarray(v, dtype='f8') for v in value]
+        else:
+            self.value = [np.full(len(xx), np.nan) for xx in self.x]
         if edges is None:
-            edges = []
-            for xx in self.x:
-                if len(xx) > 1:
-                    mid = (xx[1:] + xx[:-1]) / 2.
-                    e = np.concatenate([[xx[0] - (mid[0] - xx[0])], mid, [xx[-1] + (xx[-1] - mid[-1])]])
-                else:
-                    e = np.array([xx[0] * 0.9, xx[0] * 1.1])
-                edges.append(np.column_stack([e[:-1], e[1:]]))
-        self.edges = [np.asarray(e, dtype='f8') for e in edges]
+            edges = [_default_edges(xx) for xx in self.x]
+        self.edges = [np.asarray(e, dtype='f8').reshape(-1, 2) for e in edges]
+        if weights is None:
+            weights = [None] * len(self.x)
+        self.weights = [np.ones(len(xx)) if ww is None else np.asarray(ww, dtype='f8')
+                        for xx, ww in zip(self.x, weights)]
+        for xx, vv, ee, ww in zip(self.x, self.value, self.edges, self.weights):
+            if not (len(xx) == len(vv) == len(ee) == len(ww)):
+                raise ValueError('inconsistent projection sizes: x={}, value={}, '
+                                 'edges={}, weights={}'.format(len(xx), len(vv), len(ee), len(ww)))
         self.attrs = dict(attrs or {})
+
+    # --- basic views ---
+
+    @property
+    def flatx(self):
+        return np.concatenate(self.x)
 
     @property
     def flatvalue(self):
@@ -52,8 +98,18 @@ class ObservableArray(BaseClass):
     def size(self):
         return sum(len(v) for v in self.value)
 
+    def __array__(self, *args, **kwargs):
+        return np.asarray(self.flatvalue, *args, **kwargs)
+
     def index(self, proj):
         return self.projs.index(proj)
+
+    def _index_projs(self, projs=Ellipsis):
+        if projs is Ellipsis or projs is None:
+            return list(range(len(self.projs)))
+        if not is_sequence(projs):
+            projs = [projs]
+        return [self.index(p) for p in projs]
 
     def _proj_slices(self):
         out, start = {}, 0
@@ -62,79 +118,439 @@ class ObservableArray(BaseClass):
             start += len(v)
         return out
 
-    def select(self, projs=None, xlim=None):
-        """Sub-array restricted to given projections and/or x-range."""
-        if projs is None:
-            projs = self.projs
-        if not is_sequence(projs):
-            projs = [projs]
-        idx = [self.index(p) for p in projs]
-        masks = []
-        for i in idx:
-            m = np.ones(len(self.x[i]), dtype=bool)
-            if xlim is not None:
-                m &= (self.x[i] >= xlim[0]) & (self.x[i] <= xlim[1])
-            masks.append(m)
-        return ObservableArray(
-            x=[self.x[i][m] for i, m in zip(idx, masks)],
-            value=[self.value[i][m] for i, m in zip(idx, masks)],
-            projs=[self.projs[i] for i in idx],
-            edges=[self.edges[i][m] for i, m in zip(idx, masks)],
-            attrs=self.attrs)
+    def xavg(self, projs=Ellipsis, method='mid'):
+        """Bin centers ('mid', from edges) or stored coordinates ('x')."""
+        idx = self._index_projs(projs)
+        if method == 'mid':
+            out = [self.edges[i].mean(axis=1) for i in idx]
+        else:
+            out = [self.x[i] for i in idx]
+        return out if len(idx) != 1 or is_sequence(projs) or projs in (Ellipsis, None) else out[0]
 
-    def flat_mask(self, projs=None, xlim=None):
+    # --- selection / rebinning ---
+
+    def slice(self, sl=None, projs=Ellipsis, select_projs=False):
+        """Slice each projection; a step > 1 weight-averages groups of bins.
+
+        Counterpart of reference types.py:341 (slice matrix), with the
+        weighted group-average done directly on the per-projection vectors.
+        """
+        idx = self._index_projs(projs)
+        x, value, edges, weights = (list(self.x), list(self.value),
+                                    list(self.edges), list(self.weights))
+        for i in idx:
+            start, stop, step = _as_slice(sl, len(self.x[i]))
+            n = ((stop - start) // step) * step
+            take = slice(start, start + n)
+            ww = weights[i][take].reshape(-1, step)
+            wsum = ww.sum(axis=1)
+            x[i] = (self.x[i][take].reshape(-1, step) * ww).sum(axis=1) / wsum
+            value[i] = (self.value[i][take].reshape(-1, step) * ww).sum(axis=1) / wsum
+            edges[i] = np.column_stack([self.edges[i][take][0::step, 0],
+                                        self.edges[i][take][step - 1::step, 1]])
+            weights[i] = wsum
+        if select_projs:
+            x, value, edges, weights = ([lst[i] for i in idx] for lst in (x, value, edges, weights))
+            projs_out = [self.projs[i] for i in idx]
+        else:
+            projs_out = self.projs
+        return ObservableArray(x=x, value=value, projs=projs_out, edges=edges,
+                               weights=weights, name=self.name, attrs=self.attrs)
+
+    def _mask(self, i, xlim, method='mid'):
+        xx = self.edges[i].mean(axis=1) if method == 'mid' else self.x[i]
+        m = np.ones(len(xx), dtype=bool)
+        if xlim is not None:
+            m &= (xx >= xlim[0]) & (xx <= xlim[1])
+        return m
+
+    def select(self, xlim=None, rebin=1, projs=Ellipsis, select_projs=False, method='mid'):
+        """x-cuts (then rebinning) restricted to given projections."""
+        idx = self._index_projs(projs)
+        new = self
+        if rebin != 1:
+            new = new.slice(slice(0, None, rebin), projs=projs)
+        x, value, edges, weights = (list(new.x), list(new.value),
+                                    list(new.edges), list(new.weights))
+        for i in idx:
+            m = new._mask(i, xlim, method=method)
+            x[i], value[i], edges[i], weights[i] = (x[i][m], value[i][m],
+                                                    edges[i][m], weights[i][m])
+        if select_projs:
+            x, value, edges, weights = ([lst[i] for i in idx] for lst in (x, value, edges, weights))
+            projs_out = [self.projs[i] for i in idx]
+        else:
+            projs_out = self.projs
+        return ObservableArray(x=x, value=value, projs=projs_out, edges=edges,
+                               weights=weights, name=self.name, attrs=self.attrs)
+
+    def rebin(self, factor=2):
+        """Weight-average ``factor`` adjacent bins (all projections)."""
+        return self.slice(slice(0, None, factor))
+
+    def _slice_xmatch(self, x, projs=Ellipsis, method='mid'):
+        """(proj, coarse-slice, offset-slice) pairs matching target coords.
+
+        Searches rebinning steps then offsets, as reference types.py:159.
+        """
+        idx = self._index_projs(projs)
+        if not isinstance(x, list):
+            x = [x] * len(idx)
+        out = []
+        for xx, i in zip(x, idx):
+            xx = np.asarray(xx, dtype='f8')
+            proj = self.projs[i]
+            n = len(self.x[i])
+            found = None
+            for step in range(1, n // max(len(xx), 1) + 1):
+                sl1 = slice(0, (n // step) * step, step)
+                cand = self.slice(sl1, projs=[proj])
+                j = cand.index(proj)
+                cx = cand.edges[j].mean(axis=1) if method == 'mid' else cand.x[j]
+                hits = np.flatnonzero(np.isclose(xx[0], cx))
+                for h in hits:
+                    if h + len(xx) <= len(cx) and np.allclose(xx, cx[h:h + len(xx)]):
+                        found = (proj, sl1, slice(h, h + len(xx), 1))
+                        break
+                if found:
+                    break
+            if found is None:
+                raise ValueError('could not match x-coordinates {} for proj {}'.format(xx, proj))
+            out.append(found)
+        return out
+
+    def xmatch(self, x, projs=Ellipsis, select_projs=False, method='mid'):
+        """Rebinned/sliced array whose coordinates equal the target ``x``."""
+        new = self
+        for proj, sl1, sl2 in self._slice_xmatch(x, projs=projs, method=method):
+            new = new.slice(sl1, projs=[proj]).slice(sl2, projs=[proj])
+        if select_projs:
+            new = new.select(projs=projs, select_projs=True)
+        return new
+
+    def view(self, xlim=None, projs=Ellipsis, method='mid', return_type='nparray'):
+        """Flat value vector (or sub-array) for the selection."""
+        out = self.select(xlim=xlim, projs=projs, select_projs=True, method=method)
+        if return_type is None:
+            return out
+        return out.flatvalue
+
+    def flat_mask(self, projs=None, xlim=None, method='mid'):
         """Boolean mask into the flat vector for a selection."""
         mask = np.zeros(self.size, dtype=bool)
         slices = self._proj_slices()
-        projs_sel = self.projs if projs is None else (projs if is_sequence(projs) else [projs])
-        for proj in projs_sel:
-            i = self.index(proj)
-            m = np.ones(len(self.x[i]), dtype=bool)
-            if xlim is not None:
-                m &= (self.x[i] >= xlim[0]) & (self.x[i] <= xlim[1])
-            mask[slices[proj]] = m
+        for i in self._index_projs(Ellipsis if projs is None else projs):
+            mask[slices[self.projs[i]]] = self._mask(i, xlim, method=method)
         return mask
 
-    def rebin(self, factor=2):
-        """Average ``factor`` adjacent bins."""
-        xs, vals, edges = [], [], []
-        for xx, vv, ee in zip(self.x, self.value, self.edges):
-            n = (len(xx) // factor) * factor
-            xs.append(xx[:n].reshape(-1, factor).mean(axis=1))
-            vals.append(vv[:n].reshape(-1, factor).mean(axis=1))
-            edges.append(np.column_stack([ee[:n:factor, 0], ee[factor - 1:n:factor, 1]]))
-        return ObservableArray(x=xs, value=vals, projs=self.projs, edges=edges, attrs=self.attrs)
+    # --- IO ---
+
+    def __getstate__(self):
+        return {'x': self.x, 'value': self.value, 'projs': self.projs,
+                'edges': self.edges, 'weights': self.weights,
+                'name': self.name, 'attrs': self.attrs}
+
+    def __setstate__(self, state):
+        self.__init__(**state)
+
+    def deepcopy(self):
+        import copy
+        return copy.deepcopy(self)
+
+    def save(self, filename):
+        state = self.__getstate__()
+        arrays = {}
+        for key in ('x', 'value', 'edges', 'weights'):
+            for i, arr in enumerate(state[key]):
+                arrays['{}_{:d}'.format(key, i)] = arr
+        meta = {'projs': [str(p) for p in state['projs']],
+                'projs_repr': json.dumps(state['projs'], default=str),
+                'name': state['name'], 'nprojs': len(state['projs']),
+                'attrs': {k: v for k, v in state['attrs'].items()
+                          if isinstance(v, (int, float, str, bool, list, tuple))}}
+        np.savez(str(filename), __meta__=np.array(json.dumps(meta, default=float)), **arrays)
+
+    @classmethod
+    def load(cls, filename):
+        loaded = np.load(str(filename), allow_pickle=False)
+        meta = json.loads(str(loaded['__meta__']))
+        nprojs = meta['nprojs']
+        try:
+            projs = json.loads(meta['projs_repr'])
+        except (KeyError, ValueError):
+            projs = meta['projs']
+        kw = {key: [loaded['{}_{:d}'.format(key, i)] for i in range(nprojs)]
+              for key in ('x', 'value', 'edges', 'weights')}
+        return cls(projs=projs, name=meta.get('name'), attrs=meta.get('attrs'), **kw)
+
+    def plot(self, xlabel=None, ylabel=None, fn=None, show=False, fig=None):
+        from matplotlib import pyplot as plt
+        if fig is None:
+            fig, ax = plt.subplots()
+        else:
+            ax = fig.axes[0]
+        for proj, xx, vv in zip(self.projs, self.x, self.value):
+            ax.plot(xx, vv, marker='.', label=str(proj))
+        ax.legend()
+        if xlabel:
+            ax.set_xlabel(xlabel)
+        if ylabel:
+            ax.set_ylabel(ylabel)
+        if fn:
+            fig.savefig(fn, bbox_inches='tight')
+        if show:
+            plt.show()
+        return fig
 
     def __repr__(self):
-        return 'ObservableArray(projs={}, sizes={})'.format(self.projs, [len(v) for v in self.value])
+        return 'ObservableArray(name={}, projs={}, sizes={})'.format(
+            self.name, self.projs, [len(v) for v in self.value])
+
+    def __eq__(self, other):
+        return (isinstance(other, ObservableArray) and self.projs == other.projs
+                and all(np.array_equal(a, b) for a, b in zip(self.x, other.x))
+                and all(np.array_equal(a, b, equal_nan=True) for a, b in zip(self.value, other.value)))
 
 
 class ObservableCovariance(BaseClass):
-    """Covariance matched to an ObservableArray layout."""
+    """Covariance matched to a list of ObservableArray layouts.
 
-    def __init__(self, value, observables):
+    Parameters
+    ----------
+    value : (n, n) array
+    observables : (list of) ObservableArray (or their init dicts)
+    nobs : int, optional
+        Number of observations if estimated from mocks (drives the
+        Hartlap 2007 / Percival 2014 factors).
+    """
+
+    def __init__(self, value, observables, nobs=None, attrs=None):
         self.value = np.atleast_2d(np.asarray(value, dtype='f8'))
         if not is_sequence(observables):
             observables = [observables]
-        self.observables = list(observables)
+        self.observables = [o if isinstance(o, ObservableArray) else ObservableArray(**o)
+                            for o in observables]
         sizes = sum(o.size for o in self.observables)
         if self.value.shape != (sizes, sizes):
-            raise ValueError('covariance shape {} != total observable size {}'.format(self.value.shape, sizes))
+            raise ValueError('covariance shape {} != total observable size {}'.format(
+                self.value.shape, sizes))
+        self.nobs = int(nobs) if nobs is not None else None
+        self.attrs = dict(attrs or {})
 
-    def _full_mask(self, selections):
-        masks = []
-        for obs, sel in zip(self.observables, selections):
-            masks.append(obs.flat_mask(**(sel or {})))
-        return np.concatenate(masks)
+    @classmethod
+    def from_observations(cls, observations, name=None):
+        """Sample covariance from a list of observations.
 
-    def select(self, projs=None, xlim=None):
-        """Marginalized (row/column dropped) covariance for a selection
-        applied to every observable."""
-        mask = self._full_mask([dict(projs=projs, xlim=xlim)] * len(self.observables))
+        Each observation is an ObservableArray, an init dict, or a list of
+        those (several observables per observation).  Counterpart of
+        reference types.py:563; records ``nobs`` for the Hartlap/Percival
+        corrections.
+        """
+        if hasattr(observations, 'items'):
+            per_name = list(observations.items())
+            nobs = len(per_name[0][1])
+            observations = [[{'name': nm, **(obs[i] if isinstance(obs[i], dict)
+                                             else obs[i].__getstate__())}
+                             for nm, obs in per_name] for i in range(nobs)]
+        obsarrays = []
+        for observation in observations:
+            if not is_sequence(observation):
+                observation = [observation]
+            obsarrays.append([o if isinstance(o, ObservableArray) else ObservableArray(**o)
+                              for o in observation])
+        nobs = len(obsarrays)
+        if not nobs:
+            raise ValueError('no observations given')
+        nobservables = len(obsarrays[0])
+        # mean observable layout across observations
+        observables = []
+        for i in range(nobservables):
+            first = obsarrays[0][i]
+            value = [np.mean([oa[i].value[j] for oa in obsarrays], axis=0)
+                     for j in range(len(first.projs))]
+            observables.append(ObservableArray(
+                x=first.x, value=value, projs=first.projs, edges=first.edges,
+                weights=first.weights, name=first.name, attrs=first.attrs))
+        vectors = np.array([np.concatenate([o.flatvalue for o in oa]) for oa in obsarrays])
+        cov = np.atleast_2d(np.cov(vectors, rowvar=False, ddof=1))
+        return cls(cov, observables=observables, nobs=nobs)
+
+    # --- mock-estimation corrections ---
+
+    def hartlap2007_factor(self):
+        """Factor (< 1) to apply to the precision matrix (arXiv:astro-ph/0608064)."""
+        if self.nobs is None:
+            return 1.
+        nbins = self.shape[0]
+        return (self.nobs - nbins - 2.) / (self.nobs - 1.)
+
+    def percival2014_factor(self, nparams):
+        """Factor on the parameter covariance (arXiv:1312.4841)."""
+        if self.nobs is None:
+            return 1.
+        nbins = self.shape[0]
+        a = 2. / (self.nobs - nbins - 1.) / (self.nobs - nbins - 4.)
+        b = (self.nobs - nbins - 2.) / (self.nobs - nbins - 1.) / (self.nobs - nbins - 4.)
+        return (1 + b * (nbins - nparams)) / (1 + a + b * (nparams + 1))
+
+    # --- indexing ---
+
+    @property
+    def shape(self):
+        return self.value.shape
+
+    def __array__(self, *args, **kwargs):
+        return np.asarray(self.value, *args, **kwargs)
+
+    def _observable_index(self, observables=None):
+        """Indices of observables given ints, names (wildcards ok), or arrays."""
+        if observables is None:
+            return list(range(len(self.observables)))
+        if not is_sequence(observables):
+            observables = [observables]
+        names = [o.name for o in self.observables]
+        out = []
+        for obs in observables:
+            if isinstance(obs, ObservableArray):
+                out.append(self.observables.index(obs))
+            elif isinstance(obs, str):
+                matches = find_names(names, obs)
+                if not matches:
+                    raise ValueError('observable {} not found in {}'.format(obs, names))
+                out += [names.index(m) for m in matches]
+            else:
+                out.append(int(obs))
+        return out
+
+    def _obs_offsets(self):
+        offsets, start = [], 0
+        for o in self.observables:
+            offsets.append(start)
+            start += o.size
+        return offsets
+
+    def _full_mask(self, observables=None, projs=None, xlim=None, method='mid'):
+        idx = self._observable_index(observables)
+        mask = np.zeros(self.shape[0], dtype=bool)
+        offsets = self._obs_offsets()
+        for i in idx:
+            o = self.observables[i]
+            mask[offsets[i]:offsets[i] + o.size] = o.flat_mask(projs=projs, xlim=xlim, method=method)
+        return mask
+
+    def _index(self, observables=None, projs=None, xlim=None, method='mid', concatenate=True):
+        mask = self._full_mask(observables=observables, projs=projs, xlim=xlim, method=method)
         idx = np.flatnonzero(mask)
-        new_obs = [o.select(projs=projs if projs is not None else None, xlim=xlim)
-                   for o in self.observables]
-        return ObservableCovariance(self.value[np.ix_(idx, idx)], new_obs)
+        return idx if concatenate else mask
+
+    # --- transforms ---
+
+    def select(self, xlim=None, projs=None, observables=None, select_observables=False,
+               method='mid'):
+        """Row/column-dropped covariance for a selection.
+
+        ``xlim``/``projs`` apply to the observables named in ``observables``
+        (all by default); other observables are kept whole unless
+        ``select_observables`` drops them.
+        """
+        idx_obs = self._observable_index(observables)
+        offsets = self._obs_offsets()
+        keep, new_obs = [], []
+        for i, o in enumerate(self.observables):
+            if i in idx_obs:
+                m = o.flat_mask(projs=projs, xlim=xlim, method=method)
+                new_obs.append(o.select(xlim=xlim, projs=Ellipsis if projs is None else projs,
+                                        select_projs=projs is not None, method=method))
+                if projs is not None:
+                    m &= o.flat_mask(projs=projs)
+            elif select_observables:
+                continue
+            else:
+                m = np.ones(o.size, dtype=bool)
+                new_obs.append(o)
+            keep.append(np.flatnonzero(m) + offsets[i])
+        keep = np.concatenate(keep)
+        return ObservableCovariance(self.value[np.ix_(keep, keep)], new_obs,
+                                    nobs=self.nobs, attrs=self.attrs)
+
+    def xmatch(self, x, observables=None, projs=Ellipsis, method='mid'):
+        """Covariance rebinned/sliced so observable coords match target ``x``.
+
+        Only exact masks (offset slices with step 1) are supported for the
+        covariance itself when rebinning is needed; rebinning aggregates
+        via the weighted slice matrix per observable.
+        """
+        idx_obs = self._observable_index(observables)
+        offsets = self._obs_offsets()
+        # Build a block-diagonal aggregation matrix from per-observable slices
+        blocks, new_obs = [], []
+        for i, o in enumerate(self.observables):
+            if i in idx_obs:
+                matched = o.xmatch(x, projs=projs, method=method)
+                # per-projection mapping from old flat to new flat indices
+                block = np.zeros((matched.size, o.size))
+                col0 = 0
+                row0 = 0
+                for j, proj in enumerate(o.projs):
+                    xx_old, ww_old = o.x[j], o.weights[j]
+                    xx_new, ww_new = matched.x[j], matched.weights[j]
+                    # each new bin is the weighted average of old bins whose
+                    # edges fall inside the new bin's edges
+                    for r in range(len(xx_new)):
+                        lo, hi = matched.edges[j][r]
+                        sel = (o.edges[j][:, 0] >= lo - 1e-12) & (o.edges[j][:, 1] <= hi + 1e-12)
+                        w = ww_old * sel
+                        block[row0 + r, col0:col0 + len(xx_old)] = w / w.sum()
+                    row0 += len(xx_new)
+                    col0 += len(xx_old)
+                new_obs.append(matched)
+                blocks.append((block, offsets[i], o.size))
+            else:
+                new_obs.append(o)
+                blocks.append((np.eye(o.size), offsets[i], o.size))
+        full = np.zeros((sum(b.shape[0] for b, _, _ in blocks), self.shape[0]))
+        r0 = 0
+        for block, off, size in blocks:
+            full[r0:r0 + block.shape[0], off:off + size] = block
+            r0 += block.shape[0]
+        return ObservableCovariance(full @ self.value @ full.T, new_obs,
+                                    nobs=self.nobs, attrs=self.attrs)
+
+    def view(self, observables=None, xlim=None, projs=None, method='mid',
+             return_type='nparray'):
+        """Sub-matrix for a selection (array or new ObservableCovariance)."""
+        out = self.select(xlim=xlim, projs=projs, observables=observables,
+                          select_observables=observables is not None, method=method)
+        if return_type is None:
+            return out
+        return out.value
+
+    def marginalize(self, templates, prior=1., observables=None, projs=None, xlim=None):
+        """Add ``templates^T prior templates`` to the covariance (analytic
+        marginalization over linear template amplitudes), reference
+        types.py:893."""
+        idx = self._index(observables=observables, projs=projs, xlim=xlim)
+        templates = np.atleast_2d(np.asarray(templates, dtype='f8'))
+        deriv = np.zeros(templates.shape[:1] + self.shape[:1])
+        deriv[..., idx] = templates
+        prior = np.asarray(prior, dtype='f8')
+        if prior.ndim != 2:
+            prior = np.diag(np.broadcast_to(prior, templates.shape[:1]).astype('f8'))
+        value = self.value + deriv.T @ prior @ deriv
+        return self.clone(value=value)
+
+    def clone(self, value=None, observables=None, attrs=None):
+        new = self.copy()
+        if value is not None:
+            new.value = np.atleast_2d(np.asarray(value, dtype='f8'))
+        if observables is not None:
+            new.observables = [o if isinstance(o, ObservableArray) else ObservableArray(**o)
+                               for o in (observables if is_sequence(observables) else [observables])]
+        if attrs is not None:
+            new.attrs = dict(attrs)
+        return new
+
+    # --- stats ---
 
     def corrcoef(self):
         d = np.sqrt(np.diag(self.value))
@@ -143,9 +559,66 @@ class ObservableCovariance(BaseClass):
     def inv(self):
         return np.linalg.inv(self.value)
 
+    def var(self):
+        return np.diag(self.value).copy()
+
     @property
     def std(self):
         return np.sqrt(np.diag(self.value))
 
+    # --- IO ---
+
+    def __getstate__(self):
+        return {'value': self.value, 'nobs': self.nobs, 'attrs': self.attrs,
+                'observables': [o.__getstate__() for o in self.observables]}
+
+    def __setstate__(self, state):
+        self.__init__(state['value'],
+                      observables=[ObservableArray(**s) for s in state['observables']],
+                      nobs=state.get('nobs'), attrs=state.get('attrs'))
+
+    def deepcopy(self):
+        import copy
+        return copy.deepcopy(self)
+
+    def save(self, filename):
+        arrays = {'value': self.value}
+        metas = []
+        for iobs, o in enumerate(self.observables):
+            state = o.__getstate__()
+            for key in ('x', 'value', 'edges', 'weights'):
+                for i, arr in enumerate(state[key]):
+                    arrays['obs{:d}_{}_{:d}'.format(iobs, key, i)] = arr
+            metas.append({'projs_repr': json.dumps(state['projs'], default=str),
+                          'name': state['name'], 'nprojs': len(state['projs'])})
+        meta = {'nobs': self.nobs, 'observables': metas,
+                'attrs': {k: v for k, v in self.attrs.items()
+                          if isinstance(v, (int, float, str, bool, list, tuple))}}
+        np.savez(str(filename), __meta__=np.array(json.dumps(meta, default=float)), **arrays)
+
+    @classmethod
+    def load(cls, filename):
+        loaded = np.load(str(filename), allow_pickle=False)
+        meta = json.loads(str(loaded['__meta__']))
+        observables = []
+        for iobs, om in enumerate(meta['observables']):
+            kw = {key: [loaded['obs{:d}_{}_{:d}'.format(iobs, key, i)]
+                        for i in range(om['nprojs'])]
+                  for key in ('x', 'value', 'edges', 'weights')}
+            observables.append(ObservableArray(projs=json.loads(om['projs_repr']),
+                                               name=om.get('name'), **kw))
+        return cls(loaded['value'], observables=observables, nobs=meta.get('nobs'),
+                   attrs=meta.get('attrs'))
+
+    def plot(self, corrcoef=True, fn=None, show=False, **kwargs):
+        from ..samples.plotting import plot_covariance_matrix
+        return plot_covariance_matrix(self.value, corrcoef=corrcoef, fn=fn, show=show, **kwargs)
+
     def __repr__(self):
-        return 'ObservableCovariance(shape={})'.format(self.value.shape)
+        return 'ObservableCovariance(shape={}, observables={})'.format(
+            self.value.shape, [o.name or i for i, o in enumerate(self.observables)])
+
+    def __eq__(self, other):
+        return (isinstance(other, ObservableCovariance)
+                and np.array_equal(self.value, other.value)
+                and self.observables == other.observables)

@@ -5,7 +5,7 @@ Counterpart of reference samples/profiles.py:508.
 
 import numpy as np
 
-from ..utils import BaseClass
+from ..utils import BaseClass, is_sequence
 from ..parameters import ParameterCollection, Samples
 
 
@@ -34,6 +34,7 @@ class Profiles(BaseClass):
         self.interval = {}
         self.profile = {}
         self.contour = {}
+        self.grid = {}
         self.attrs = {}
 
     @property
@@ -48,6 +49,66 @@ class Profiles(BaseClass):
         i = self.argmax() if index == 'argmax' else int(index)
         return {name: float(np.asarray(self.bestfit[name])[i])
                 for name in self.bestfit.names()}
+
+    def update(self, other):
+        """Merge another Profiles' results (non-empty fields win)."""
+        if other.bestfit.names():
+            self.bestfit = other.bestfit
+        self.error.update(other.error)
+        self.interval.update(other.interval)
+        self.profile.update(other.profile)
+        self.contour.update(other.contour)
+        self.grid.update(getattr(other, 'grid', {}))
+        if other.covariance is not None:
+            self.covariance = other.covariance
+        self.attrs.update(other.attrs)
+        return self
+
+    @classmethod
+    def concatenate(cls, *others):
+        """Stack bestfit rows (multi-start runs); other fields from the
+        first (reference profiles.py:635)."""
+        if len(others) == 1 and is_sequence(others[0]):
+            others = list(others[0])
+        new = others[0].deepcopy()
+        for name in new.bestfit.names():
+            new.bestfit[name] = np.concatenate(
+                [np.atleast_1d(np.asarray(o.bestfit[name])) for o in others])
+        return new
+
+    def extend(self, other):
+        """In-place concatenate."""
+        self.__dict__.update(self.concatenate(self, other).__dict__)
+
+    def deepcopy(self):
+        import copy
+        return copy.deepcopy(self)
+
+    def to_fisher(self, params=None):
+        """LikelihoodFisher at the best fit from the parabolic covariance
+        (reference profiles.py:700)."""
+        from ..fisher import LikelihoodFisher
+        if self.covariance is None:
+            raise ValueError('no covariance stored; run maximize with hessian')
+        names = [n for n in self.bestfit.names() if n != 'logposterior']
+        best = self.choice()
+        center = np.array([best[n] for n in names])
+        hessian = -np.linalg.inv(np.atleast_2d(self.covariance))
+        fisher = LikelihoodFisher(center=center,
+                                  params=[self.params[n] for n in names if n in self.params.names()]
+                                  or names, hessian=hessian)
+        if params is not None:
+            keep = [getattr(p, 'name', p) for p in params]
+            fisher = fisher.marginalize([n for n in names if n not in keep])
+        return fisher
+
+    def to_getdist(self, label=None):
+        """Gaussian approximation around the best fit as a getdist GaussianND."""
+        from getdist.gaussian_mixtures import GaussianND
+        names = [n for n in self.bestfit.names() if n != 'logposterior']
+        best = self.choice()
+        return GaussianND([best[n] for n in names], np.atleast_2d(self.covariance),
+                          names=names, label=label)
 
     def to_stats(self, tablefmt='plain'):
         """Summary table; tablefmt 'plain' or 'latex' (reference
@@ -82,9 +143,19 @@ class Profiles(BaseClass):
         arrays = {'bestfit:' + name: np.asarray(self.bestfit[name]) for name in self.bestfit.names()}
         for name, (x, chi2) in self.profile.items():
             arrays['profile:' + name] = np.stack([np.asarray(x), np.asarray(chi2)])
-        for (n1, n2), levels in self.contour.items():
-            for cl, (x, y) in levels.items():
+        for (n1, n2), entry in self.contour.items():
+            if isinstance(entry, dict) and 'grid' in entry:
+                g1, g2, chi2 = entry['grid']
+                arrays['contourgrid:{}:{}:0'.format(n1, n2)] = np.asarray(g1)
+                arrays['contourgrid:{}:{}:1'.format(n1, n2)] = np.asarray(g2)
+                arrays['contourgrid:{}:{}:chi2'.format(n1, n2)] = np.asarray(chi2)
+                entry = entry.get('paths', {})
+            for cl, (x, y) in entry.items():
                 arrays['contour:{}:{}:{}'.format(n1, n2, cl)] = np.stack([np.asarray(x), np.asarray(y)])
+        for name, (pts, chi2) in self.grid.items():
+            key = name if isinstance(name, str) else ':'.join(name)
+            arrays['grid:' + key] = np.asarray(pts)
+            arrays['gridchi2:' + key] = np.asarray(chi2)
         if self.covariance is not None:
             arrays['covariance'] = np.asarray(self.covariance)
         meta = {'params': self.params.__getstate__(),
@@ -111,7 +182,19 @@ class Profiles(BaseClass):
                 new.profile[key[8:]] = (loaded[key][0], loaded[key][1])
             elif key.startswith('contour:'):
                 _, n1, n2, cl = key.split(':')
-                new.contour.setdefault((n1, n2), {})[float(cl)] = (loaded[key][0], loaded[key][1])
+                entry = new.contour.setdefault((n1, n2), {'paths': {}})
+                entry.setdefault('paths', {})[float(cl)] = (loaded[key][0], loaded[key][1])
+            elif key.startswith('contourgrid:'):
+                _, n1, n2, part = key.split(':')
+                entry = new.contour.setdefault((n1, n2), {'paths': {}})
+                g = entry.setdefault('grid', [None, None, None])
+                g[{'0': 0, '1': 1, 'chi2': 2}[part]] = loaded[key]
+            elif key.startswith('grid:'):
+                name = key[5:]
+                name = name if ':' not in name else tuple(name.split(':'))
+                new.grid[name] = (loaded[key], loaded['gridchi2:' + (name if isinstance(name, str) else ':'.join(name))])
+            elif key.startswith('gridchi2:'):
+                pass
             elif key == 'covariance':
                 new.covariance = loaded[key]
         return new

@@ -80,8 +80,10 @@ def test_observable_array_types():
     k = np.linspace(0.02, 0.2, 10)
     arr = ObservableArray(x=[k, k], value=[k * 10, k * 5], projs=[0, 2])
     assert arr.size == 20
-    sub = arr.select(projs=0, xlim=(0.05, 0.15))
+    sub = arr.select(projs=0, xlim=(0.05, 0.15), select_projs=True)
     assert sub.projs == [0] and np.all(sub.x[0] >= 0.05)
+    kept = arr.select(projs=0, xlim=(0.05, 0.15))
+    assert kept.projs == [0, 2] and len(kept.x[1]) == len(k)  # other projs untouched
     reb = arr.rebin(2)
     assert len(reb.x[0]) == 5
     cov = ObservableCovariance(np.eye(20) * 4., [arr])
@@ -148,3 +150,49 @@ def test_plotting_adapters():
             plotting.plot_triangle_getdist(chain)
         with pytest.raises(ImportError, match='anesthetic'):
             plotting.to_anesthetic(chain)
+
+
+def test_profiles_depth(tmp_path):
+    """Profiles: concatenate, to_fisher/to_getdist, grid storage, npz
+    round-trip with contour grid+paths (reference profiles.py:508 surface)."""
+    import numpy as np
+    from desilike_tpu.parameters import Parameter
+    from desilike_tpu.samples.profiles import Profiles
+
+    params = [Parameter('a', value=1., latex='a'), Parameter('b', value=2.)]
+
+    def make(logpost):
+        p = Profiles(params)
+        p.bestfit['a'] = np.array([1.1])
+        p.bestfit['b'] = np.array([2.2])
+        p.bestfit['logposterior'] = np.array([logpost])
+        return p
+
+    p1, p2 = make(-1.), make(-0.5)
+    cat = Profiles.concatenate(p1, p2)
+    assert cat.start_size == 2
+    assert cat.argmax() == 1
+    assert cat.choice()['a'] == 1.1
+
+    p1.covariance = np.array([[0.04, 0.], [0., 0.09]])
+    fisher = p1.to_fisher()
+    assert np.allclose(fisher.covariance(), p1.covariance)
+    assert np.isclose(fisher.std('a'), 0.2)
+
+    p1.contour[('a', 'b')] = {'grid': (np.linspace(0, 1, 4), np.linspace(0, 1, 5),
+                                       np.zeros((4, 5))),
+                              'paths': {1.: (np.arange(3.), np.arange(3.) + 1)}}
+    p1.grid['a'] = (np.linspace(0.5, 1.5, 7), np.arange(7.))
+    p1.interval['a'] = (0.9, 1.3)
+    p1.error['a'] = 0.2
+    fn = tmp_path / 'profiles.npz'
+    p1.save(fn)
+    loaded = Profiles.load(fn)
+    assert loaded.choice() == p1.choice()
+    assert np.allclose(loaded.covariance, p1.covariance)
+    assert np.allclose(loaded.contour[('a', 'b')]['grid'][2], 0.)
+    assert np.allclose(loaded.contour[('a', 'b')]['paths'][1.][1], np.arange(3.) + 1)
+    assert np.allclose(loaded.grid['a'][1], np.arange(7.))
+    assert loaded.interval['a'] == (0.9, 1.3)
+    stats = p1.to_stats()
+    assert 'a' in stats and 'interval' in stats
