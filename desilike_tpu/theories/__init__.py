@@ -5,13 +5,14 @@ from .power_template import (BasePowerSpectrumTemplate, FixedPowerSpectrumTempla
                              BAOPhaseShiftPowerSpectrumTemplate, StandardPowerSpectrumTemplate,
                              ShapeFitPowerSpectrumTemplate, DirectPowerSpectrumTemplate, DirectWiggleSplitPowerSpectrumTemplate,
                              WiggleSplitPowerSpectrumTemplate, BandVelocityPowerSpectrumTemplate,
-                             TurnOverPowerSpectrumTemplate)
+                             TurnOverPowerSpectrumTemplate, ExtractedBandVelocityPowerSpectrumTemplate,
+                             BandVelocityPowerSpectrumCalculator)
 from .bao import (DampedBAOWigglesPowerSpectrumMultipoles, SimpleBAOWigglesPowerSpectrumMultipoles,
                   ResummedBAOWigglesPowerSpectrumMultipoles, FlexibleBAOWigglesPowerSpectrumMultipoles,
                   DampedBAOWigglesTracerPowerSpectrumMultipoles, SimpleBAOWigglesTracerPowerSpectrumMultipoles,
                   ResummedBAOWigglesTracerPowerSpectrumMultipoles, FlexibleBAOWigglesTracerPowerSpectrumMultipoles,
                   DampedBAOWigglesTracerCorrelationFunctionMultipoles, SimpleBAOWigglesTracerCorrelationFunctionMultipoles,
-                  ResummedBAOWigglesTracerCorrelationFunctionMultipoles)
+                  ResummedBAOWigglesTracerCorrelationFunctionMultipoles, FlexibleBAOWigglesTracerCorrelationFunctionMultipoles)
 from .full_shape import (KaiserPowerSpectrumMultipoles, KaiserTracerPowerSpectrumMultipoles,
                          EFTLikeKaiserTracerPowerSpectrumMultipoles, KaiserTracerCorrelationFunctionMultipoles,
                          EFTLikeKaiserTracerCorrelationFunctionMultipoles, SimpleTracerPowerSpectrumMultipoles)
@@ -21,7 +22,22 @@ from .tns import (TNSTracerPowerSpectrumMultipoles, EFTLikeTNSTracerPowerSpectru
 from .extractors import (BAOExtractor, StandardPowerSpectrumExtractor, ShapeFitPowerSpectrumExtractor,
                          WiggleSplitPowerSpectrumExtractor, BandVelocityPowerSpectrumExtractor,
                          TurnOverPowerSpectrumExtractor, BAOPhaseShiftExtractor)
-from .png import PNGTracerPowerSpectrumMultipoles
+from .png import PNGTracerPowerSpectrumMultipoles, PNGTracerVelocityPowerSpectrumMultipoles
 from .bispectrum import TreeLevelBispectrumMultipoles
 from .lya import P1DPowerSpectrumExtractor
 from .weak_lensing import DESY3Theory, DES_Y3_PARAM_MAP
+
+# reference-name compatibility aliases (PEP 562 lazy to avoid import cycles)
+_COMPAT_NAMES = ('FOLPSTracerPowerSpectrumMultipoles', 'FOLPSAXTracerPowerSpectrumMultipoles',
+                 'LPTVelocileptorsTracerPowerSpectrumMultipoles', 'REPTVelocileptorsTracerPowerSpectrumMultipoles',
+                 'PyBirdTracerPowerSpectrumMultipoles', 'FOLPSTracerCorrelationFunctionMultipoles',
+                 'FOLPSAXTracerCorrelationFunctionMultipoles', 'LPTVelocileptorsTracerCorrelationFunctionMultipoles',
+                 'REPTVelocileptorsTracerCorrelationFunctionMultipoles', 'PyBirdTracerCorrelationFunctionMultipoles',
+                 'GeoFPTAXTracerBispectrumMultipoles', 'JAXEffortTracerPowerSpectrumMultipoles', 'Cosmoprimo')
+
+
+def __getattr__(name):
+    if name in _COMPAT_NAMES:
+        from .. import compat
+        return getattr(compat, name)
+    raise AttributeError('module {!r} has no attribute {!r}'.format(__name__, name))

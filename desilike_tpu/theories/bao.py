@@ -454,3 +454,7 @@ class SimpleBAOWigglesTracerCorrelationFunctionMultipoles(BaseBAOWigglesTracerCo
 
 class ResummedBAOWigglesTracerCorrelationFunctionMultipoles(BaseBAOWigglesTracerCorrelationFunctionMultipoles):
     _pt_power_cls = ResummedBAOWigglesPowerSpectrumMultipoles
+
+
+class FlexibleBAOWigglesTracerCorrelationFunctionMultipoles(BaseBAOWigglesTracerCorrelationFunctionMultipoles):
+    _pt_power_cls = FlexibleBAOWigglesPowerSpectrumMultipoles

@@ -68,3 +68,61 @@ class PNGTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
 
     def get(self):
         return self.power
+
+class PNGTracerVelocityPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, WedgesMixin):
+    r"""Tracer density-velocity cross power spectrum multipoles with local
+    PNG scale-dependent bias (reference primordial_non_gaussianity.py:176).
+
+    Models -i P_{gv,l}(k): the velocity field contributes a factor
+    bv f mu H0/(1+z)/k (odd in mu, hence odd multipoles ells=(1, 3)),
+    the density field (b1 + Delta b(k) + f mu^2); FoG damping is a
+    Lorentzian in (sigmas k mu) times sinc(sigmau k) (reference :274-276).
+    The full-sphere mu in [-1, 1] trapezoidal quadrature keeps the odd
+    Legendre projections exact.
+    """
+
+    _params = {
+        'b1': dict(value=2., prior=dict(limits=[0., 4.]), ref=dict(dist='norm', loc=2., scale=0.1), latex='b_1'),
+        'bv': dict(value=1., prior=dict(limits=[0., 4.]), ref=dict(dist='norm', loc=1., scale=0.1), latex='b_v'),
+        'fnl': dict(value=0., prior=dict(limits=[-300., 300.]), ref=dict(dist='norm', loc=0., scale=5.), latex=r'f_\mathrm{NL}'),
+        'p': dict(value=1., fixed=True, prior=dict(limits=[0., 3.]), latex='p'),
+        'bphi': dict(value=2., fixed=True, prior=dict(limits=[-10., 10.]), latex=r'b_\phi'),
+        'sigmas': dict(value=0., fixed=True, prior=dict(limits=[0., 10.]), latex=r'\Sigma_s'),
+        'sigmau': dict(value=0., fixed=True, prior=dict(limits=[0., 10.]), latex=r'\Sigma_u'),
+    }
+
+    def initialize(self, k=None, ells=(1, 3), template=None, mode='b-p', mu=81):
+        super().initialize(k=k, ells=ells)
+        self.mode = str(mode)
+        if template is None:
+            template = DirectPowerSpectrumTemplate()
+        self.template = template
+        kin = np.geomspace(min(1e-4, self.k[0] / 2), max(1., self.k[-1] * 2), 700)
+        self.template.init.update(k=kin)
+        # full-sphere mu quadrature for odd multipoles; multipole_weights
+        # normalizes for the [0, 1] convention, so halve for [-1, 1]
+        self.set_k_mu(k=self.k, mu=np.linspace(-1., 1., int(mu)), ells=self.ells)
+        self.wmu = self.wmu / 2.
+        self.delta_c = 1.686
+
+    def calculate(self, b1=2., bv=1., fnl=0., p=1., bphi=2., sigmas=0., sigmau=0., **kw):
+        f = self.template.f
+        jac, kap, muap = self.template.ap_k_mu(self.k, self.mu)
+        pk = self.template.pk_dd_interp(kap)
+        cosmo_p = getattr(getattr(self.template, 'cosmo', None), 'p', None) or self.template.fiducial
+        pr = (2. * np.pi ** 2) / kap ** 3 * lin.primordial_curvature(cosmo_p, kap)
+        alpha = jnp.sqrt(pk / pr)
+        bphi_val = bphi if self.mode == 'bphi' else 2. * self.delta_c * (b1 - p)
+        delta_b = bphi_val * fnl / alpha
+        # velocity kernel: v ~ f aH delta / k, with aH/h -> 100/(1+z) km/s/(Mpc/h)
+        vel = bv * f * muap * 100. / (1. + self.z) / kap
+        fog = 1. / (1. + (sigmas * kap * muap) ** 2 / 2.) * jnp.sinc(sigmau * kap)
+        pkmu = jac * fog * (b1 + delta_b + f * muap ** 2) * vel * pk
+        self.power = self.to_poles(pkmu)
+
+    @property
+    def z(self):
+        return self.template.z
+
+    def get(self):
+        return self.power

@@ -520,3 +520,72 @@ class DirectWiggleSplitPowerSpectrumTemplate(DirectPowerSpectrumTemplate):
         self.pk_dd = self.pknow_dd + moved
         if self.only_now:
             self.pk_dd = self.pknow_dd
+
+
+class ExtractedBandVelocityPowerSpectrumTemplate(BandVelocityPowerSpectrumTemplate):
+    r"""Band-power template whose band amplitudes dptt{i}, growth df and AP
+    qap are COMPUTED by a :class:`BandVelocityPowerSpectrumExtractor` running
+    on a direct cosmology, instead of being sampled.  Building block of
+    :func:`BandVelocityPowerSpectrumCalculator` (reference
+    power_template.py:826)."""
+
+    @staticmethod
+    def _params(init):
+        return {}
+
+    def initialize(self, extractor=None, kp=None, eta=1. / 3., cosmo=None,
+                   fiducial=None, **kwargs):
+        if extractor is None:
+            from .extractors import BandVelocityPowerSpectrumExtractor
+            extractor = BandVelocityPowerSpectrumExtractor(
+                kp=kp, z=kwargs.get('z', 1.), eta=eta, cosmo=cosmo, fiducial=fiducial)
+        self.extractor = extractor
+        self.eta = float(eta)
+        kwargs.setdefault('apmode', 'qap')
+        super().initialize(kp=kp, fiducial=fiducial, eta=eta, **kwargs)
+        # AP comes from the extractor, not a sampled qap
+        self.apeffect.init.params = {'qap': dict(value=1., fixed=True)}
+        self.apeffect.runtime_info.initialized = False
+
+    @property
+    def qpar(self):
+        return self.extractor.qap ** (1. - self.eta)
+
+    @property
+    def qper(self):
+        return self.extractor.qap ** (-self.eta)
+
+    def calculate(self, **params):
+        BasePowerSpectrumTemplate.calculate(self)
+        ex = self.extractor
+        n = len(self.kp)
+        amps = jnp.asarray(ex.dptt)
+        basis = jnp.asarray(self._band_basis)
+        scale = jnp.einsum('i,ik->k', amps, basis) \
+            + (1. - jnp.einsum('i,ik->k', jnp.ones(n), basis))
+        self.pk_dd = self.pk_dd_fid * scale
+        if self.with_now:
+            self.pknow_dd = self.pknow_dd_fid * scale
+        self.f = self.f_fid * ex.df
+        self.f0 = self.f0_fid * ex.df
+        self.fk = self.fk_fid * ex.df
+        self.fsigma8 = self.fsigma8_fid * ex.df
+        self.pk_tt = self.f ** 2 * self.pk_dd
+
+
+def BandVelocityPowerSpectrumCalculator(calculator=None, extractor=None, **kwargs):
+    r"""Rewire ``calculator`` (a tracer theory built on
+    :class:`BandVelocityPowerSpectrumTemplate`) so its band amplitudes,
+    growth and AP distortion are computed from a direct cosmology by a
+    :class:`BandVelocityPowerSpectrumExtractor` — turning the band-power
+    compression model back into a direct-cosmology predictor (counterpart
+    of reference power_template.py:826, built by template swap rather than
+    runtime class surgery).  Returns the same calculator instance.  Pass
+    ``cosmo=Cosmology(fixed=False)`` to vary the cosmology (the default
+    direct cosmology is fixed at the fiducial, as everywhere else)."""
+    calculator.runtime_info.initialize()
+    template = calculator.template
+    new_template = ExtractedBandVelocityPowerSpectrumTemplate(
+        extractor=extractor, kp=template.kp, z=template.z, **kwargs)
+    calculator.init.update(template=new_template)
+    return calculator
