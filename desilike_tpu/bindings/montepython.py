@@ -21,7 +21,16 @@ def gather_classy_products(cosmo, node):
                 'rs_drag_tab': float(cosmo.rs_drag()) * h}
     kh = np.asarray(node.k_grid, dtype='f8')
     zpk = np.asarray(node.zpk_grid, dtype='f8')
-    pk = np.array([[float(cosmo.pk_lin(kk * h, zz)) for kk in kh] for zz in zpk]) * h ** 3
+    get_pk_array = getattr(cosmo, 'get_pk_array', None)
+    if get_pk_array is not None:
+        # classy's batched table getter: karr (nk*nz, k fastest), zarr (nz),
+        # returns flat pk of length nz*nk — one C call for the whole table
+        nk, nz = len(kh), len(zpk)
+        karr = np.tile(kh * h, nz)
+        flat = np.asarray(get_pk_array(karr, zpk, nk, nz, 0), dtype='f8')
+        pk = flat.reshape(nz, nk) * h ** 3
+    else:
+        pk = np.array([[float(cosmo.pk_lin(kk * h, zz)) for kk in kh] for zz in zpk]) * h ** 3
     products['pk_tab'] = pk
     s8 = np.array([float(cosmo.sigma(8. / h, zz)) for zz in z])
     f = np.array([float(cosmo.scale_independent_growth_factor_f(zz)) for zz in z])

@@ -23,7 +23,12 @@ class Profiles(BaseClass):
         Delta-chi2 = 1 likelihood intervals.
     profile : dict name -> (values, chi2)
         1D profile scans.
-    contour : dict (name1, name2) -> {cl: (x, y)}
+    contour : dict (name1, name2) -> {'paths': {cl: (x, y)}, 'grid': (g1, g2, chi2)}
+        2D contour results; the legacy flat form {cl: (x, y)} is accepted on
+        write and normalized to the 'paths' form by save/load. Use
+        :meth:`contour_paths` to read either form.
+    grid : dict name or (names) -> (points, chi2)
+        nD chi2 grid scans.
     """
 
     def __init__(self, params=None):
@@ -49,6 +54,14 @@ class Profiles(BaseClass):
         i = self.argmax() if index == 'argmax' else int(index)
         return {name: float(np.asarray(self.bestfit[name])[i])
                 for name in self.bestfit.names()}
+
+    def contour_paths(self, pair):
+        """{cl: (x, y)} contour paths for a parameter pair, whichever of the
+        stored forms (flat legacy dict or {'paths': ...}) is present."""
+        entry = self.contour[tuple(pair)]
+        if isinstance(entry, dict) and ('paths' in entry or 'grid' in entry):
+            return entry.get('paths', {})
+        return entry
 
     def update(self, other):
         """Merge another Profiles' results (non-empty fields win)."""

@@ -257,11 +257,34 @@ class FakeClassy:
         import jax.numpy as jnp
         return float(self._lin.pk_lin(self.p, jnp.asarray([k_mpc / self._h]), z)[0]) / self._h ** 3
 
+    def get_pk_array(self, karr_mpc, zarr, nk, nz, nonlinear):
+        """classy's batched pk table getter (k fastest, flat nz*nk result) —
+        one vectorized evaluation per z instead of nz*nk scalar dispatches."""
+        import jax.numpy as jnp
+        kh = jnp.asarray(np.asarray(karr_mpc[:nk], dtype='f8') / self._h)
+        rows = [np.asarray(self._lin.pk_lin(self.p, kh, float(zz))) for zz in np.asarray(zarr)]
+        return (np.concatenate(rows) / self._h ** 3).astype('f8')
+
+    def _growth_tables(self):
+        # one batched evaluation over z instead of per-call ODE re-runs
+        if not hasattr(self, '_ztab'):
+            import jax.numpy as jnp
+            self._ztab = np.linspace(0., 5., 101)
+            self._Dtab = np.asarray(self._bg.growth_factor(self.p, jnp.asarray(self._ztab)))
+            self._ftab = np.asarray(self._bg.growth_rate(self.p, jnp.asarray(self._ztab)))
+            self._s8_z0 = {}
+        return self._ztab, self._Dtab, self._ftab
+
     def sigma(self, R_mpc, z):
-        return float(self._lin.sigma_r(self.p, R_mpc * self._h, z))
+        ztab, Dtab, _ = self._growth_tables()
+        R = float(R_mpc) * self._h
+        if R not in self._s8_z0:
+            self._s8_z0[R] = float(self._lin.sigma_r(self.p, R, 0.))
+        return self._s8_z0[R] * float(np.interp(z, ztab, Dtab)) / float(Dtab[0])
 
     def scale_independent_growth_factor_f(self, z):
-        return float(self._bg.growth_rate(self.p, z))
+        ztab, _, ftab = self._growth_tables()
+        return float(np.interp(z, ztab, ftab))
 
 
 def test_montepython_host_cosmology_injection():

@@ -130,7 +130,9 @@ def test_profiles_save_load_and_latex(tmp_path):
     assert back.error['b'] == pytest.approx(0.1)
     assert back.interval['a'] == pytest.approx((0.95, 1.07))
     np.testing.assert_allclose(back.profile['a'][1], prof.profile['a'][1])
-    np.testing.assert_allclose(back.contour[('a', 'b')][0.68][0], prof.contour[('a', 'b')][0.68][0])
+    # legacy flat contour dicts are normalized to {'paths': {...}} on load
+    np.testing.assert_allclose(back.contour_paths(('a', 'b'))[0.68][0],
+                               prof.contour_paths(('a', 'b'))[0.68][0])
     np.testing.assert_allclose(back.covariance, prof.covariance)
     latex = prof.to_stats(tablefmt='latex')
     assert '\\begin{tabular}' in latex and '\\alpha' in latex
