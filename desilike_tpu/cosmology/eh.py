@@ -110,3 +110,130 @@ def sound_horizon_eh(p):
     """EH98 sound horizon s (eq. 6) in Mpc/h (internal consistency scale)."""
     c = _params_eh(p)
     return c['s'] * c['h']
+
+
+# --- Eisenstein & Hu 1999 massive-neutrino correction (astro-ph/9710252) ---
+
+def _params_eh99(p):
+    """EH99 density fractions and epochs (differentiable scalars).
+
+    Total matter includes the massive-neutrino contribution; fractions are
+    guarded so the f_nu -> 0 limit is smooth under jit/AD.
+    """
+    h = p['h']
+    onu = bg.omega_ncdm(p)
+    ocb = bg.omega_cb(p)
+    om = ocb + onu
+    ob = p['omega_b']
+    theta = p['T_cmb'] / 2.7
+    theta2 = theta * theta
+
+    fnu = jnp.clip(onu / om, 1e-12, 0.5)
+    fb = ob / om
+    fc = 1. - fb - fnu
+    fcb = fc + fb
+    fnub = fnu + fb
+    Nnu = float(p.get('N_ncdm', 1) or 1)
+
+    z_eq = 2.50e4 * om / theta2 ** 2
+    b1 = 0.313 * om ** -0.419 * (1. + 0.607 * om ** 0.674)
+    b2 = 0.238 * om ** 0.223
+    z_d = 1291. * om ** 0.251 / (1. + 0.659 * om ** 0.828) * (1. + b1 * ob ** b2)
+    y_d = (1. + z_eq) / (1. + z_d)
+    # eq. 4: fitted sound horizon (Mpc)
+    s = 44.5 * jnp.log(9.83 / om) / jnp.sqrt(1. + 10. * ob ** 0.75)
+
+    def p_of(f):
+        return (5. - jnp.sqrt(1. + 24. * f)) / 4.
+
+    return dict(h=h, om=om, theta2=theta2, fnu=fnu, fb=fb, fc=fc, fcb=fcb,
+                fnub=fnub, Nnu=Nnu, z_eq=z_eq, y_d=y_d, s=s,
+                p_c=p_of(fc), p_cb=p_of(fcb))
+
+
+def _eh99_alpha_nu(c):
+    """EH99 eq. 15: small-scale suppression amplitude alpha_nu."""
+    fc, fcb, fnu, fnub, Nnu = c['fc'], c['fcb'], c['fnu'], c['fnub'], c['Nnu']
+    p_c, p_cb, y_d = c['p_c'], c['p_cb'], c['y_d']
+    out = (fc / fcb) * (5. - 2. * (p_c + p_cb)) / (5. - 4. * p_cb)
+    out = out * (1. - 0.553 * fnub + 0.126 * fnub ** 3) \
+        / (1. - 0.193 * jnp.sqrt(fnu * Nnu) + 0.169 * fnu * Nnu ** 0.2)
+    out = out * (1. + y_d) ** (p_cb - p_c)
+    out = out * (1. + (p_c - p_cb) / 2. * (1. + 1. / ((3. - 4. * p_c) * (7. - 4. * p_cb))) / (1. + y_d))
+    return out
+
+
+def _eh99_master_sup(c, km):
+    """EH99 eqs. 16-24: master suppression T_sup(k) * B(k); km in 1/Mpc."""
+    alpha = _eh99_alpha_nu(c)
+    sqa = jnp.sqrt(alpha)
+    gamma_eff = c['om'] * (sqa + (1. - sqa) / (1. + (0.43 * km * c['s']) ** 4))
+    q_eff = km * c['theta2'] / gamma_eff
+    beta_c = 1. / (1. - 0.949 * c['fnub'])
+    L = jnp.log(jnp.e + 1.84 * beta_c * sqa * q_eff)
+    C = 14.4 + 325. / (1. + 60.5 * q_eff ** 1.11)
+    T_sup = L / (L + C * q_eff ** 2)
+    # free-streaming bump (eqs. 22-23); -> 1 as f_nu -> 0 or k -> 0
+    q = km * c['theta2'] / c['om']
+    fnu, Nnu = c['fnu'], c['Nnu']
+    q_nu = 3.92 * q * jnp.sqrt(Nnu) / fnu
+    B = 1. + (1.24 * fnu ** 0.64 * Nnu ** (0.3 + 0.6 * fnu)) / (q_nu ** -1.6 + q_nu ** 0.8)
+    return T_sup * B
+
+
+def _eh99_growth_u(c, p, km, z):
+    """u = (D1/(1+y_fs))^0.7 with D1 in the EH99 normalization
+    D1 ~ (1+z_eq) a in matter domination (eqs. 9, 12)."""
+    D1 = (1. + c['z_eq']) * bg.growth_factor(p, z, normalize='md')
+    q = km * c['theta2'] / c['om']
+    fnu, Nnu = c['fnu'], c['Nnu']
+    y_fs = 17.2 * fnu * (1. + 0.488 * fnu ** (-7. / 6.)) * (Nnu * q / fnu) ** 2
+    return (D1 / (1. + y_fs)) ** 0.7, D1
+
+
+def neutrino_ratio(p, k, z=0.):
+    """Multiplicative P_cb(k, z) correction for massive neutrinos.
+
+    EH99 (astro-ph/9710252): the ratio of the master suppression function
+    at (fixed total omega_m, f_nu) to its f_nu -> 0 limit, squared, times
+    the squared scale-dependent cb growth D_cb(k, z) (eq. 11) normalized to
+    its k -> 0 limit — so large-scale amplitude (A_s normalization) is
+    preserved and the small-scale free-streaming suppression and its
+    redshift dependence are the response.  Smooth in k (applies on top of
+    the wiggly EH98 transfer) and exactly ~1 when m_ncdm = 0.
+    """
+    km = jnp.asarray(k) * p['h']
+    c = _params_eh99(p)
+    # f_nu -> 0 reference: neutrino mass moved into CDM at fixed total om
+    c0 = dict(c)
+    c0['fnu'] = 1e-12
+    c0['fc'] = 1. - c['fb'] - 1e-12
+    c0['fcb'] = 1. - 1e-12
+    c0['fnub'] = c['fb'] + 1e-12
+    c0['p_c'] = (5. - jnp.sqrt(1. + 24. * c0['fc'])) / 4.
+    c0['p_cb'] = (5. - jnp.sqrt(1. + 24. * c0['fcb'])) / 4.
+    t_ratio = _eh99_master_sup(c, km) / _eh99_master_sup(c0, km)
+    # pin the large-scale amplitude: super-horizon P_cb is independent of
+    # how matter splits into cb + nu at fixed total omega_m and A_s, so the
+    # response must -> 1 as k -> 0 (divides out the low-k tail of the EH99
+    # B(k) bump, leaving the relative free-streaming suppression)
+    kref = jnp.asarray(1e-5) * p['h']
+    t_ratio = t_ratio / (_eh99_master_sup(c, kref) / _eh99_master_sup(c0, kref))
+    u, D1 = _eh99_growth_u(c, p, km, z)
+    p_cb = c['p_cb']
+    # D_cb = (1+u)^(p_cb/0.7) D1^(1-p_cb), normalized by its k->0 value
+    u0 = D1 ** 0.7
+    g_ratio = ((1. + u) / (1. + u0)) ** (p_cb / 0.7)
+    return (t_ratio * g_ratio) ** 2
+
+
+def growth_rate_ratio(p, k, z=0.):
+    """Scale-dependent cb growth-rate factor f_cb(k, z)/f(z) from EH99
+    eq. 11: dln D_cb/dln D1 = 1 - p_cb/(1 + u). -> 1 as f_nu -> 0
+    (p_cb -> 0) and at k -> 0 relative to the large-scale limit."""
+    km = jnp.asarray(k) * p['h']
+    c = _params_eh99(p)
+    u, D1 = _eh99_growth_u(c, p, km, z)
+    u0 = D1 ** 0.7
+    p_cb = c['p_cb']
+    return (1. - p_cb / (1. + u)) / (1. - p_cb / (1. + u0))

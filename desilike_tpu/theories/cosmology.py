@@ -82,8 +82,10 @@ class Cosmology(Calculator):
         self.fiducial_values = base
         self._use_theta = bool(theta)
         self.engine = str(engine)
-        if self.engine not in ('eh98', 'table', 'external'):
+        if self.engine not in ('eh98', 'eh99', 'table', 'external'):
             raise ValueError("engine must be 'eh98' (approximate, self-contained), "
+                             "'eh99' (eh98 + the EH99 massive-neutrino free-streaming "
+                             'suppression and scale-dependent growth, astro-ph/9710252), '
                              "'table' (injected Boltzmann pk, production path) or "
                              "'external' (per-evaluation host-code products, bindings)")
         if self.engine == 'table':
@@ -220,11 +222,24 @@ class Cosmology(Calculator):
         row = (1. - t) * lnpk[iz] + t * lnpk[iz + 1]
         return jnp.exp(jnp.interp(jnp.log(jnp.asarray(k)), jnp.log(jnp.asarray(self.k_grid)), row))
 
+    def growth_rate_k(self, k, z):
+        """Scale-dependent growth rate f(k, z); flat except for the eh99
+        engine, where massive-neutrino free-streaming suppresses it
+        (EH99 eq. 11 logarithmic derivative)."""
+        f = self.growth_rate(z)
+        if self.engine == 'eh99':
+            from ..cosmology import eh
+            return f * eh.growth_rate_ratio(self.p, k, z)
+        return f * jnp.ones(jnp.asarray(k).shape)
+
     def pk_dd(self, k, z):
         if self.engine == 'table':
             return lin.pk_lin_table(self.p, self._p_fid, self._lnk_tab, self._lnpk_tab, k, z)
         if self.engine == 'external':
             return self._pk_external(k, z)
+        if self.engine == 'eh99':
+            from ..cosmology import eh
+            return lin.pk_lin(self.p, k, z) * eh.neutrino_ratio(self.p, k, z)
         return lin.pk_lin(self.p, k, z)
 
     def pk_dd_now(self, k, z):
@@ -237,6 +252,9 @@ class Cosmology(Calculator):
             # (a no-wiggle reference for wiggle-split filters)
             alpha = (self.sigma8(z) / lin.sigma_r(self.p, 8., z)) ** 2
             return alpha * lin.pk_lin(self.p, k, z, nowiggle=True)
+        if self.engine == 'eh99':
+            from ..cosmology import eh
+            return lin.pk_lin(self.p, k, z, nowiggle=True) * eh.neutrino_ratio(self.p, k, z)
         return lin.pk_lin(self.p, k, z, nowiggle=True)
 
     def sigma_r(self, r, z=0.):
@@ -245,6 +263,8 @@ class Cosmology(Calculator):
                 self.p, self._p_fid, self._lnk_tab, self._lnpk_tab, k, z))
         if self.engine == 'external':
             return lin.sigma_r(self.p, r, z, pk_func=lambda k: self._pk_external(k, z))
+        if self.engine == 'eh99':
+            return lin.sigma_r(self.p, r, z, pk_func=lambda k: self.pk_dd(k, z))
         return lin.sigma_r(self.p, r, z)
 
     def sigma8(self, z=0.):

@@ -305,7 +305,9 @@ class DirectPowerSpectrumTemplate(BasePowerSpectrumTemplate):
         self.pk_dd = self.cosmo.pk_dd(self.k, self.z)
         self.f = self.cosmo.growth_rate(self.z)
         self.f0 = self.f
-        self.fk = jnp.full(self.k.shape, self.f)
+        # flat except the eh99 engine (neutrino-suppressed growth rate)
+        self.fk = self.cosmo.growth_rate_k(self.k, self.z) \
+            if hasattr(self.cosmo, 'growth_rate_k') else jnp.full(self.k.shape, self.f)
         self.sigma8 = self.cosmo.sigma_r(8., self.z)
         self.fsigma8 = self.f * self.sigma8
         if self.with_now:

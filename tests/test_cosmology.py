@@ -106,3 +106,59 @@ def test_theta_mc_solved_h():
     fd = (float(jax.jit(h_of_theta)(jnp.asarray(theta_fid + eps)))
           - float(jax.jit(h_of_theta)(jnp.asarray(theta_fid - eps)))) / (2 * eps)
     assert g == pytest.approx(fd, rel=1e-3)
+
+
+def test_eh99_neutrino_suppression():
+    """EH99 (astro-ph/9710252) free-streaming correction: exact identity at
+    m_ncdm=0; suppression depth in the data band within the literature range
+    (P_cb: ~ -(5-8) f_nu); growth rate suppressed by the classic (3/5) f_nu;
+    shallower at higher z; differentiable in m_ncdm."""
+    k = jnp.asarray(np.geomspace(1e-2, 5., 30))
+    p0 = bg.resolve({'m_ncdm': 0.})
+    np.testing.assert_allclose(np.asarray(eh.neutrino_ratio(p0, k, 0.)), 1., atol=1e-5)  # f32
+    for m in (0.06, 0.3):
+        p = bg.resolve({'m_ncdm': m})
+        fnu = float(bg.omega_ncdm(p) / (bg.omega_cb(p) + bg.omega_ncdm(p)))
+        r = np.asarray(eh.neutrino_ratio(p, k, 0.))
+        assert np.all(r < 1.), 'suppression everywhere in the data band'
+        depth = 1. - r.min()
+        assert 4. * fnu < depth < 10. * fnu, (m, depth / fnu)
+        r_hi_z = np.asarray(eh.neutrino_ratio(p, k, 3.))
+        assert r_hi_z.min() > r.min(), 'less suppression at early times'
+        fr = float(eh.growth_rate_ratio(p, jnp.asarray([5.]), 0.)[0])
+        np.testing.assert_allclose(1. - fr, 0.6 * fnu, rtol=0.25)
+    g = float(jax.grad(lambda m: eh.neutrino_ratio(
+        bg.resolve({'m_ncdm': m}), jnp.asarray([1.0]), 0.)[0])(0.06))
+    assert np.isfinite(g) and g < 0.
+
+
+def test_eh99_engine_direct_template():
+    """Cosmology(engine='eh99') end-to-end: varying m_ncdm suppresses the
+    template pk at high k relative to low k, and fk is scale-dependent."""
+    from desilike_tpu.theories import DirectPowerSpectrumTemplate
+    from desilike_tpu.theories.cosmology import Cosmology
+    from desilike_tpu.core import Pipeline
+    cosmo = Cosmology(engine='eh99')
+    cosmo.init.params.set(_m_param())
+    tmpl = DirectPowerSpectrumTemplate(z=1., cosmo=cosmo, engine='eh99',
+                                       varied=('h', 'omega_cdm'))
+    pipe = Pipeline(tmpl)
+    vals = {pp.name: pp.value for pp in pipe.varied_params}
+    pipe.evaluate({**vals, 'm_ncdm': 0.0})
+    pk0 = np.asarray(tmpl.pk_dd)
+    fk0 = np.asarray(tmpl.fk)
+    pipe.evaluate({**vals, 'm_ncdm': 0.4})
+    pk1 = np.asarray(tmpl.pk_dd)
+    fk1 = np.asarray(tmpl.fk)
+    k = np.asarray(tmpl.k)
+    lo, hi = np.argmin(np.abs(k - 2e-3)), np.argmin(np.abs(k - 2.))
+    rel = pk1 / pk0
+    assert rel[hi] < rel[lo] * 0.93, 'free-streaming suppression at high k'
+    np.testing.assert_allclose(fk0, fk0[0], rtol=1e-6)      # flat at m=0
+    assert fk1[hi] < fk1[lo] * 0.999                        # suppressed growth rate
+
+
+def _m_param():
+    from desilike_tpu.parameters import Parameter
+    return Parameter(basename='m_ncdm', value=0.06, fixed=False,
+                     prior=dict(limits=[0., 2.]), ref=dict(dist='norm', loc=0.06, scale=0.02))
