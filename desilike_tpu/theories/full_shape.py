@@ -46,7 +46,7 @@ class KaiserPowerSpectrumMultipoles(BasePTPowerSpectrumMultipoles):
 
     def calculate(self, sigmapar=0., sigmaper=0., **kw):
         jac, kap, muap = self.template.ap_k_mu(self.k, self.mu)
-        f = self.template.f
+        f = self.template.f_of_k(kap)
         sigmanl2 = kap ** 2 * (sigmapar ** 2 * muap ** 2 + sigmaper ** 2 * (1. - muap ** 2))
         damping = jnp.exp(-sigmanl2 / 2.)
         pkmu = jac * damping * self.template.pk_dd_interp(kap)
@@ -207,8 +207,8 @@ class SimpleTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wed
         self.nd = 1. / float(shotnoise)
 
     def calculate(self, b1=1.5, sn0=0., sigmapar=0., sigmaper=0., **kw):
-        f = self.template.f
         jac, kap, muap = self.template.ap_k_mu(self.k, self.mu)
+        f = self.template.f_of_k(kap)
         k, mu = self.k[:, None], self.mu
         damping = jnp.exp(-k ** 2 * (sigmapar ** 2 * mu ** 2 + sigmaper ** 2 * (1. - mu ** 2)) / 2.)
         pkmu = jac * damping * (b1 + f * muap ** 2) ** 2 * self.template.pk_dd_interp(kap) + sn0 / self.nd

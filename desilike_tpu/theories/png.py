@@ -46,8 +46,8 @@ class PNGTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         self.delta_c = 1.686
 
     def calculate(self, b1=2., fnl=0., p=1., bphi=2., sn0=0., sigmas=0., **kw):
-        f = self.template.f
         jac, kap, muap = self.template.ap_k_mu(self.k, self.mu)
+        f = self.template.f_of_k(kap)
         pk = self.template.pk_dd_interp(kap)
         # alpha(k): matter fluctuation per unit primordial curvature
         cosmo_p = getattr(getattr(self.template, 'cosmo', None), 'p', None) or self.template.fiducial
@@ -106,8 +106,8 @@ class PNGTracerVelocityPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles
         self.delta_c = 1.686
 
     def calculate(self, b1=2., bv=1., fnl=0., p=1., bphi=2., sigmas=0., sigmau=0., **kw):
-        f = self.template.f
         jac, kap, muap = self.template.ap_k_mu(self.k, self.mu)
+        f = self.template.f_of_k(kap)
         pk = self.template.pk_dd_interp(kap)
         cosmo_p = getattr(getattr(self.template, 'cosmo', None), 'p', None) or self.template.fiducial
         pr = (2. * np.pi ** 2) / kap ** 3 * lin.primordial_curvature(cosmo_p, kap)

@@ -100,6 +100,15 @@ class BasePowerSpectrumTemplate(Calculator):
     def pk_dd_interp(self, k):
         return self._cheb_interp('pk_dd', k)
 
+    def f_of_k(self, k):
+        """Growth rate at (AP-remapped) k: the scalar f unless the cosmology
+        engine provides a genuinely scale-dependent fk (eh99 neutrino
+        free-streaming) — a static branch, so non-eh99 hot paths pay
+        nothing (reference full_shape.py:1463-1475 fk-table analog)."""
+        if getattr(getattr(self, 'cosmo', None), 'engine', None) == 'eh99':
+            return self._cheb_interp('fk', k)
+        return self.f
+
     def pknow_dd_interp(self, k):
         return self._cheb_interp('pknow_dd', k)
 

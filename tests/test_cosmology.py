@@ -158,6 +158,32 @@ def test_eh99_engine_direct_template():
     assert fk1[hi] < fk1[lo] * 0.999                        # suppressed growth rate
 
 
+def test_eh99_kaiser_rsd_uses_fk():
+    """The scale-dependent growth rate reaches the RSD term: with eh99 and
+    heavy neutrinos the Kaiser quadrupole/monopole ratio is suppressed at
+    high k relative to low k beyond the isotropic pk suppression."""
+    from desilike_tpu.theories import DirectPowerSpectrumTemplate, KaiserTracerPowerSpectrumMultipoles
+    from desilike_tpu.theories.cosmology import Cosmology
+    from desilike_tpu.core import Pipeline
+
+    def quad_ratio(m):
+        cosmo = Cosmology(engine='eh99')
+        cosmo.init.params.set(_m_param())
+        tmpl = DirectPowerSpectrumTemplate(z=1., cosmo=cosmo, engine='eh99', varied=('h',))
+        th = KaiserTracerPowerSpectrumMultipoles(k=np.geomspace(2e-3, 0.4, 40),
+                                                 ells=(0, 2), template=tmpl)
+        pipe = Pipeline(th)
+        vals = {p.name: p.value for p in pipe.varied_params}
+        P = np.asarray(pipe.evaluate({**vals, 'm_ncdm': m, 'b1': 2.}))
+        return P[1] / P[0]   # quadrupole-to-monopole ~ growth-rate probe
+
+    r0 = quad_ratio(0.0)
+    r1 = quad_ratio(0.8)
+    # fractional change of P2/P0 from neutrinos: more negative at high k
+    change = r1 / r0 - 1.
+    assert change[-1] < change[0] - 5e-4, (change[0], change[-1])
+
+
 def _m_param():
     from desilike_tpu.parameters import Parameter
     return Parameter(basename='m_ncdm', value=0.06, fixed=False,
