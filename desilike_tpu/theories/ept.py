@@ -152,8 +152,11 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
                   + b2 * t['pb2_t'] + bs * t['pbs2_t'] + b3nl * t['p_sig3sq'])
         p_tt = pk_lin_w + t['p22_tt'] + t['p13_tt']
 
-        f = self.template.f
         jac, kap, muap = self.template.ap_k_mu(self.k, self.mu)
+        # scale-dependent under the eh99 engine (neutrino suppression in the
+        # RSD combination, as FOLPS feeds fk into its tables); the loop
+        # tables themselves use the standard EdS kernels
+        f = self.template.f_of_k(kap) if hasattr(self.template, 'f_of_k') else self.template.f
         cheb = self._work_cheb
         dd_ap = cheb.evaluate(cheb.coeffs(pgg_dd), kap)
         dt_ap = cheb.evaluate(cheb.coeffs(pgg_dt), kap)

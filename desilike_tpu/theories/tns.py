@@ -63,8 +63,10 @@ class EFTLikeTNSTracerPowerSpectrumMultipoles(EPTTracerPowerSpectrumMultipoles):
                   + b2 * t['pb2_t'] + bs2 * t['pbs2_t'] + b3nl * sig3_pk)
         p_tt = pk_lin_w + t['p22_tt'] + t['p13_tt']
 
-        f = self.template.f
         jac, kap, muap = self.template.ap_k_mu(self.k, self.mu)
+        # scale-dependent under the eh99 engine (see ept.py); the A/B loop
+        # corrections keep the standard EdS kernels
+        f = self.template.f_of_k(kap) if hasattr(self.template, 'f_of_k') else self.template.f
         cheb = self._work_cheb
 
         def to_ap(table):
