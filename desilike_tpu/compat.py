@@ -113,8 +113,12 @@ class GeoFPTAXTracerBispectrumMultipoles(TreeLevelBispectrumMultipoles):
                    shotnoise=None, pt=None, **kwargs):
         for name in _PT_WRAPPER_OPTIONS + ('mu',):
             kwargs.pop(name, None)
-        if template is not None and z is not None:
-            template.init.update(z=z)
+        if z is not None:
+            if template is None:
+                from .theories.power_template import ShapeFitPowerSpectrumTemplate
+                template = ShapeFitPowerSpectrumTemplate(z=z)
+            else:
+                template.init.update(z=z)
         sn = 1e4
         if shotnoise is not None and np.ndim(shotnoise) == 0 and float(shotnoise):
             sn = float(shotnoise)

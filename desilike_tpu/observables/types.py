@@ -165,7 +165,8 @@ class ObservableArray(BaseClass):
         return m
 
     def select(self, xlim=None, rebin=1, projs=Ellipsis, select_projs=False, method='mid'):
-        """x-cuts (then rebinning) restricted to given projections."""
+        """Rebinning, then x-cuts on the merged-bin centers, restricted to
+        given projections (the reference's operation order, types.py:277)."""
         idx = self._index_projs(projs)
         new = self
         if rebin != 1:
@@ -349,8 +350,10 @@ class ObservableCovariance(BaseClass):
         if hasattr(observations, 'items'):
             per_name = list(observations.items())
             nobs = len(per_name[0][1])
-            observations = [[{'name': nm, **(obs[i] if isinstance(obs[i], dict)
-                                             else obs[i].__getstate__())}
+            # the dict key is the authoritative observable name (an
+            # ObservableArray state always carries a name, possibly '')
+            observations = [[{**(obs[i] if isinstance(obs[i], dict)
+                                 else obs[i].__getstate__()), 'name': nm}
                              for nm, obs in per_name] for i in range(nobs)]
         obsarrays = []
         for observation in observations:

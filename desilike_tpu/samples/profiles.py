@@ -107,9 +107,10 @@ class Profiles(BaseClass):
         best = self.choice()
         center = np.array([best[n] for n in names])
         hessian = -np.linalg.inv(np.atleast_2d(self.covariance))
-        fisher = LikelihoodFisher(center=center,
-                                  params=[self.params[n] for n in names if n in self.params.names()]
-                                  or names, hessian=hessian)
+        # per-name fallback keeps params aligned with center/hessian rows
+        # even when bestfit carries names absent from self.params
+        plist = [self.params[n] if n in self.params.names() else n for n in names]
+        fisher = LikelihoodFisher(center=center, params=plist, hessian=hessian)
         if params is not None:
             keep = [getattr(p, 'name', p) for p in params]
             fisher = fisher.marginalize([n for n in names if n not in keep])
@@ -157,11 +158,12 @@ class Profiles(BaseClass):
         for name, (x, chi2) in self.profile.items():
             arrays['profile:' + name] = np.stack([np.asarray(x), np.asarray(chi2)])
         for (n1, n2), entry in self.contour.items():
-            if isinstance(entry, dict) and 'grid' in entry:
-                g1, g2, chi2 = entry['grid']
-                arrays['contourgrid:{}:{}:0'.format(n1, n2)] = np.asarray(g1)
-                arrays['contourgrid:{}:{}:1'.format(n1, n2)] = np.asarray(g2)
-                arrays['contourgrid:{}:{}:chi2'.format(n1, n2)] = np.asarray(chi2)
+            if isinstance(entry, dict) and ('grid' in entry or 'paths' in entry):
+                if 'grid' in entry:
+                    g1, g2, chi2 = entry['grid']
+                    arrays['contourgrid:{}:{}:0'.format(n1, n2)] = np.asarray(g1)
+                    arrays['contourgrid:{}:{}:1'.format(n1, n2)] = np.asarray(g2)
+                    arrays['contourgrid:{}:{}:chi2'.format(n1, n2)] = np.asarray(chi2)
                 entry = entry.get('paths', {})
             for cl, (x, y) in entry.items():
                 arrays['contour:{}:{}:{}'.format(n1, n2, cl)] = np.stack([np.asarray(x), np.asarray(y)])

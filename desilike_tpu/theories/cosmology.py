@@ -270,7 +270,8 @@ class Cosmology(Calculator):
     def sigma8(self, z=0.):
         if self.engine == 'external':
             return jnp.interp(jnp.asarray(z), jnp.asarray(self.z_grid), jnp.asarray(self.sigma8_tab))
-        return lin.sigma_r(self.p, 8., z)
+        # via sigma_r so the table/eh99 engines stay consistent with pk_dd
+        return self.sigma_r(8., z)
 
     def fsigma8(self, z=0.):
         if self.engine == 'external':

@@ -114,9 +114,18 @@ class PNGTracerVelocityPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles
         alpha = jnp.sqrt(pk / pr)
         bphi_val = bphi if self.mode == 'bphi' else 2. * self.delta_c * (b1 - p)
         delta_b = bphi_val * fnl / alpha
-        # velocity kernel: v ~ f aH delta / k, with aH/h -> 100/(1+z) km/s/(Mpc/h)
-        vel = bv * f * muap * 100. / (1. + self.z) / kap
-        fog = 1. / (1. + (sigmas * kap * muap) ** 2 / 2.) * jnp.sinc(sigmau * kap)
+        # velocity kernel: v ~ f aH delta / k with aH/h = 100 E(z)/(1+z)
+        # km/s/(Mpc/h).  (The reference primordial_non_gaussianity.py:274
+        # omits E(z); we keep it so the amplitude scales correctly with z.)
+        from ..cosmology import background as bg
+        cosmo = getattr(self.template, 'cosmo', None)
+        Ez = cosmo.efunc(self.z) if cosmo is not None else \
+            bg.efunc(self.template.fiducial, self.z)
+        vel = bv * f * muap * 100. * Ez / (1. + self.z) / kap
+        # sinc damping sin(sigmau k)/(sigmau k); jnp.sinc is the normalized
+        # sin(pi x)/(pi x), hence the /pi
+        fog = 1. / (1. + (sigmas * kap * muap) ** 2 / 2.) \
+            * jnp.sinc(sigmau * kap / jnp.pi)
         pkmu = jac * fog * (b1 + delta_b + f * muap ** 2) * vel * pk
         self.power = self.to_poles(pkmu)
 

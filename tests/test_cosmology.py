@@ -188,3 +188,15 @@ def _m_param():
     from desilike_tpu.parameters import Parameter
     return Parameter(basename='m_ncdm', value=0.06, fixed=False,
                      prior=dict(limits=[0., 2.]), ref=dict(dist='norm', loc=0.06, scale=0.02))
+
+
+def test_eh99_sigma8_consistent_with_pk():
+    """Regression: sigma8()/fsigma8() must include the eh99 suppression that
+    pk_dd()/sigma_r() carry (a joint CMB+clustering fit reads sigma8)."""
+    from desilike_tpu.theories.cosmology import Cosmology
+    cosmo = Cosmology(engine='eh99', fiducial={'m_ncdm': 0.3})
+    cosmo.runtime_info.initialize()
+    cosmo.calculate()
+    s8_a = float(cosmo.sigma8(0.5))
+    s8_b = float(cosmo.sigma_r(8., 0.5))
+    np.testing.assert_allclose(s8_a, s8_b, rtol=1e-6)

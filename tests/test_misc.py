@@ -196,3 +196,34 @@ def test_profiles_depth(tmp_path):
     assert loaded.interval['a'] == (0.9, 1.3)
     stats = p1.to_stats()
     assert 'a' in stats and 'interval' in stats
+
+
+def test_profiles_resave_after_load(tmp_path):
+    """Regression: re-saving a loaded Profiles (contours normalized to the
+    {'paths': ...} form without 'grid') must not crash."""
+    from desilike_tpu.samples.profiles import Profiles
+    from desilike_tpu.parameters import Parameter
+    p = Profiles([Parameter(basename='a', value=1.)])
+    p.bestfit['a'] = np.array([1.0])
+    p.bestfit['logposterior'] = np.array([-0.5])
+    p.contour[('a', 'b')] = {0.68: (np.arange(4.), np.arange(4.))}
+    fn1, fn2 = str(tmp_path / 'p1.npz'), str(tmp_path / 'p2.npz')
+    p.save(fn1)
+    back = Profiles.load(fn1)
+    back.save(fn2)
+    again = Profiles.load(fn2)
+    np.testing.assert_allclose(again.contour_paths(('a', 'b'))[0.68][0], np.arange(4.))
+
+
+def test_from_observations_dict_names():
+    """Regression: the dict key names the observable (arrays' empty default
+    name must not override it), so select(observables='PK') works."""
+    from desilike_tpu.observables import ObservableArray, ObservableCovariance
+    k = np.linspace(0.02, 0.2, 8)
+    rng = np.random.default_rng(3)
+    obs = {'PK': [ObservableArray(x=[k], value=[k + rng.normal(0, 0.01, 8)], projs=[0])
+                  for _ in range(12)]}
+    cov = ObservableCovariance.from_observations(obs)
+    assert cov.observables[0].name == 'PK'
+    sub = cov.select(observables='PK', xlim=(0.05, 0.15))
+    assert sub.shape[0] == np.count_nonzero((k >= 0.05) & (k <= 0.15))
