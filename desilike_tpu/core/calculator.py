@@ -95,7 +95,6 @@ class RuntimeInfo(object):
         if self.initialized:
             return self.calculator
         calc = self.calculator
-        pre = set(calc.__dict__)
         # default params: class-level _params (dict or callable on init config)
         cls_params = getattr(calc, '_params', None)
         if callable(cls_params):

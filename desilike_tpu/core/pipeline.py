@@ -181,7 +181,7 @@ class Pipeline(BaseClass):
             result, self.derived = self.run_once(full)
         return result
 
-    def profile_speed(self, niterations=10, seed=42):
+    def profile_speed(self, niterations=10):
         """Per-calculator wall time + fused-jit throughput (the reference's
         Monitor/_set_speed analog, base.py:695-735). Under whole-graph jit the
         per-calculator split is informational: parameter blocking is obsolete
@@ -189,19 +189,30 @@ class Pipeline(BaseClass):
         and compare eager vs compiled evaluation."""
         import time
         import jax
-        key = jax.random.key(seed)
-        timings = {c.runtime_info.name: 0. for c in self.calculators}
+        # unique per-instance keys (multi-tracer graphs repeat class names)
+        names = [c.runtime_info.name for c in self.calculators]
+        counts = {n: names.count(n) for n in names}
+        ordinal = {}
+        keys = []
+        for n in names:
+            ordinal[n] = ordinal.get(n, 0) + 1
+            keys.append('{}#{}'.format(n, ordinal[n]) if counts[n] > 1 else n)
+        timings = {k: 0. for k in keys}
         values = self.input_defaults()
         full = {k: jnp.asarray(v) for k, v in values.items()}
         from ..config import host_eval
         with host_eval():
             for _ in range(max(1, niterations)):
-                for calc in self.calculators:
+                for key_i, calc in zip(keys, self.calculators):
                     cvals = {p.basename: full[p.name] for p in calc.runtime_info.params
                              if p.derived is not True and not p.drop}
                     t0 = time.perf_counter()
-                    jax.block_until_ready(jax.tree.leaves(calc.calculate(**cvals))) if False else calc.calculate(**cvals)
-                    timings[calc.runtime_info.name] += time.perf_counter() - t0
+                    calc.calculate(**cvals)
+                    # block on the produced state so eager timings measure
+                    # compute, not async dispatch latency
+                    state = getattr(calc, '__getstate__', None)
+                    jax.block_until_ready(jax.tree.leaves(state() if state is not None else {}))
+                    timings[key_i] += time.perf_counter() - t0
         eager = {name: t / max(1, niterations) for name, t in timings.items()}
         fn = self.get_fn()
         varied = {p.name: jnp.asarray(p.value) for p in self.varied_params}

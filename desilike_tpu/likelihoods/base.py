@@ -96,15 +96,25 @@ class BaseLikelihood(Calculator):
 
         with jax.ensure_compile_time_eval(), host_eval():
             base = theory_at({})
-            for like, t0 in zip(gauss, base):
-                cov = np.array(like.covariance, dtype='f8')
+            # one perturbed pipeline run per param (loop-invariant in `like`)
+            pert = {}
+            for p in prec_params:
+                loc = p.prior.loc if p.prior is not None else 0.
+                sig = p.prior.scale if p.prior is not None else np.inf
+                if not np.isfinite(sig):
+                    raise ValueError('.prec parameter {} needs a proper normal prior'.format(p.name))
+                pert[p.name] = theory_at({p.name: loc + 1.})
+            for ilike, (like, t0) in enumerate(zip(gauss, base)):
+                # fold from the UNFOLDED covariance so rebuilding logpost_fn
+                # (or changing the .prec set) never double-inflates
+                prefold = getattr(like, '_covariance_prefold', None)
+                if prefold is None:
+                    prefold = np.array(like.covariance, dtype='f8')
+                    like._covariance_prefold = prefold
+                cov = prefold.copy()
                 for p in prec_params:
-                    loc = p.prior.loc if p.prior is not None else 0.
                     sig = p.prior.scale if p.prior is not None else np.inf
-                    if not np.isfinite(sig):
-                        raise ValueError('.prec parameter {} needs a proper normal prior'.format(p.name))
-                    tp = theory_at({p.name: loc + 1.})[gauss.index(like)]
-                    b = tp - t0
+                    b = pert[p.name][ilike] - t0
                     if np.any(b != 0.):
                         cov = cov + sig ** 2 * np.outer(b, b)
                 like._set_whitening(cov, hartlap=getattr(like, 'hartlap', 1.))
@@ -202,6 +212,11 @@ class BaseLikelihood(Calculator):
             nm = getattr(like, '_nmocks', 0)
             if nm:
                 nd = like.size
+                if nm < nd + 5:
+                    raise ValueError(
+                        'Percival 2014 factor needs nmocks > ndata + 4 (got nmocks={}, '
+                        'ndata={}); the formula is outside its validity regime — use more '
+                        'mocks or an analytic covariance'.format(nm, nd))
                 nv = len(pipe.varied_params) + nsolved
                 A = 2. / ((nm - nd - 1.) * (nm - nd - 4.))
                 B = (nm - nd - 2.) / ((nm - nd - 1.) * (nm - nd - 4.))
@@ -236,15 +251,26 @@ class BaseLikelihood(Calculator):
                 _, derived = pipe.run_once(f2)
                 diffs = tuple(like.flatdiff_white for like in likelihoods
                               if hasattr(like, 'flatdiff_white'))
-                return diffs, derived
+                # anything read from node state after this function returns
+                # must be RETURNED here — attributes set inside jax.linearize
+                # are leaked tracers outside it.  stop_gradient: these feed
+                # the posterior through primal values only (the non-Gaussian
+                # loglikes do not depend on the solved params; the analytic
+                # bases are constant in them by construction).
+                other_ll = tuple(jax.lax.stop_gradient(like.loglikelihood)
+                                 for like in likelihoods
+                                 if not hasattr(like, 'flatdiff_white'))
+                abases = tuple(tuple(None if g is None else jax.lax.stop_gradient(g())
+                                     for g in basis_plan[i]) for i in analytic_idx)
+                return diffs, (derived, other_ll, abases)
 
             s0_dyn = s0[jnp.asarray(dyn_idx, dtype=jnp.int32)] if dyn_idx else jnp.zeros((0,), s0.dtype)
             if dyn_idx:
-                (diffs, derived), jvp = jax.linearize(inner, s0_dyn)
+                (diffs, (derived, other_ll, abases)), jvp = jax.linearize(inner, s0_dyn)
                 basis = jnp.eye(len(dyn_idx), dtype=s0.dtype)
                 Js_dyn = jax.vmap(lambda t: jvp(t)[0])(basis)  # tuple of (ndyn, ndata_i)
             else:
-                diffs, derived = inner(s0_dyn)
+                diffs, (derived, other_ll, abases) = inner(s0_dyn)
                 Js_dyn = tuple(jnp.zeros((0, d.shape[0]), d.dtype) for d in diffs)
             # assemble full J per likelihood: constant rows for static-linear
             # params, analytic-basis rows (from the primal), traced rows for
@@ -257,10 +283,10 @@ class BaseLikelihood(Calculator):
                         jnp.asarray(static_Js[ilike], dtype=d.dtype))
                 if dyn_idx:
                     J = J.at[jnp.asarray(dyn_idx, dtype=jnp.int32)].set(Js_dyn[ilike])
-                for i in analytic_idx:
-                    g = basis_plan[i][ilike]
-                    if g is not None:
-                        J = J.at[i].set(g())
+                for ii, i in enumerate(analytic_idx):
+                    gval = abases[ii][ilike]
+                    if gval is not None:
+                        J = J.at[i].set(jnp.asarray(gval, d.dtype))
                 Js.append(J)
             Js = tuple(Js)
 
@@ -291,7 +317,7 @@ class BaseLikelihood(Calculator):
             x = s0 + dx
 
             loglike = jnp.zeros(())
-            iw = 0
+            iw = io = 0
             for like in likelihoods:
                 if hasattr(like, 'flatdiff_white'):
                     d = diffs[iw]
@@ -299,7 +325,8 @@ class BaseLikelihood(Calculator):
                     ll = ll + 0.5 * dx @ like_H[iw] @ dx + like_g[iw] @ dx
                     iw += 1
                 else:
-                    ll = like.loglikelihood
+                    ll = other_ll[io]
+                    io += 1
                 loglike = loglike + ll
             if marg_idx.size:
                 # logdet in the equilibrated basis + scale correction:
@@ -331,7 +358,9 @@ class BaseLikelihood(Calculator):
 
     def logpost(self, **values):
         """Convenience scalar evaluation."""
-        fn = self.__dict__.setdefault('_logpost_fn', self.logpost_fn())
+        if '_logpost_fn' not in self.__dict__:
+            self.__dict__['_logpost_fn'] = self.logpost_fn()
+        fn = self.__dict__['_logpost_fn']
         values = {k: jnp.asarray(v) for k, v in values.items()}
         out, _ = fn(values)
         return out
@@ -345,7 +374,6 @@ class BaseGaussianLikelihood(BaseLikelihood):
     """
 
     def initialize(self, data=None, covariance=None, precision=None, **kwargs):
-        super_init = getattr(super(), 'initialize', None)
         self.flatdata = np.ravel(np.asarray(data, dtype='f8'))
         if precision is not None:
             precision = np.atleast_2d(np.asarray(precision, dtype='f8'))
@@ -417,10 +445,27 @@ class ObservablesGaussianLikelihood(BaseGaussianLikelihood):
             if all(c is not None for c in covs):
                 covariance = np.zeros((sum(nobs), sum(nobs)))
                 start = 0
-                for c, n in zip(covs, nobs):
-                    covariance[start:start + n, start:start + n] = c
-                    start += n
-                nmocks = min((obs.nmocks for obs in self.observables if obs.nmocks), default=0)
+                if len(self.observables) == 1:
+                    # single covariance: global Hartlap/Percival path below
+                    covariance[:, :] = np.asarray(covs[0], dtype='f8')
+                    nmocks = self.observables[0].nmocks or 0
+                else:
+                    # block-diagonal from SEPARATELY-estimated per-observable
+                    # covariances: each mock-estimated block carries ITS OWN
+                    # Hartlap factor with its own (nmocks, block size) — a
+                    # global factor with the total data size would
+                    # over-correct or spuriously fail. No joint Percival
+                    # factor is defined for separate estimates (nmocks = 0).
+                    for obs, c, n in zip(self.observables, covs, nobs):
+                        c = np.asarray(c, dtype='f8')
+                        nm = obs.nmocks
+                        if nm:
+                            h = (nm - n - 2.) / (nm - 1.)
+                            if h <= 0:
+                                raise ValueError('too few mocks ({}) for observable block size {}'.format(nm, n))
+                            c = c / h   # folds the per-block Hartlap into the precision
+                        covariance[start:start + n, start:start + n] = c
+                        start += n
             elif footprints is not None:
                 from ..observables.covariance import ObservablesCovarianceMatrix
                 covariance = ObservablesCovarianceMatrix(self.observables, footprints=footprints)()
@@ -448,20 +493,19 @@ class ObservablesGaussianLikelihood(BaseGaussianLikelihood):
         returns a callable (evaluated post-calculate, traced), None if the
         param does not touch this likelihood, or False if it does but no
         analytic basis is available (falls back to linearize)."""
-        from ..core import Pipeline
+        # per-observable calculator lists are cached: this runs once per
+        # (solved param, likelihood) at every logpost_fn build
+        calcs_cache = self.__dict__.get('_obs_calcs_cache')
+        if calcs_cache is None or len(calcs_cache) != len(self.observables):
+            from ..core import Pipeline
+            calcs_cache = [list(Pipeline(obs).calculators) for obs in self.observables]
+            self.__dict__['_obs_calcs_cache'] = calcs_cache
         per_obs = []
         touches = False
-        for obs in self.observables:
+        for obs, calcs in zip(self.observables, calcs_cache):
             wmat = getattr(obs, 'wmatrix', None)
             theory = getattr(wmat, 'theory', None)
-            owns = False
-            try:
-                for calc in Pipeline(obs).calculators:
-                    if param.name in calc.runtime_info.params:
-                        owns = True
-                        break
-            except Exception:
-                owns = False
+            owns = any(param.name in calc.runtime_info.params for calc in calcs)
             if not owns:
                 per_obs.append(None)
                 continue
@@ -529,7 +573,6 @@ class SumLikelihood(BaseLikelihood):
         if '_likelihoods' not in self.__dict__:
             # not yet initialized (lazy lifecycle): read the init config so
             # chained sums (a + b + c) flatten correctly
-            from ..utils import is_sequence
             likes = self.init.get('likelihoods')
             return list(likes) if is_sequence(likes) else [likes]
         return list(self._likelihoods)

@@ -191,3 +191,78 @@ def test_percival_factor_applied():
     prec1 = like.precision.copy()
     like.logpost_fn()
     np.testing.assert_allclose(like.precision, prec1, rtol=0, atol=0)
+
+
+def test_sum_with_nongaussian_and_dynamic_solved():
+    """Regression: a non-Gaussian likelihood summed with a Gaussian that has
+    a dynamically-solved (linearize-path) param must not leak tracers (its
+    loglikelihood is set inside jax.linearize and must be returned by it)."""
+    from desilike_tpu.likelihoods import BaseLikelihood
+
+    class PlainLikelihood(BaseLikelihood):
+        _params = dict(BaseLikelihood._params)
+        _params.update({'c': dict(value=0.3, prior=dict(dist='norm', loc=0., scale=1.),
+                                  ref=dict(dist='norm', loc=0., scale=0.1))})
+
+        def calculate(self, c=0., **kw):
+            self.loglikelihood = -0.5 * (c / 0.5) ** 2
+
+    from test_samplers import GaussianModel
+
+    class SolvedGaussian(GaussianModel):
+        _params = dict(GaussianModel._params)
+        _params['b'] = dict(_params['b'], derived='.marg',
+                            prior=dict(dist='norm', loc=-0.5, scale=10.))
+
+    total = SolvedGaussian() + PlainLikelihood()
+    fn = total.logpost_fn()
+    lp0, aux = fn({'a': jnp.asarray(1.0), 'c': jnp.asarray(0.3)})
+    assert np.isfinite(float(lp0))
+    assert 'b' in aux['solved']
+    # the plain likelihood contributes: changing c moves the posterior by
+    # exactly its own loglike difference
+    lp1, _ = fn({'a': jnp.asarray(1.0), 'c': jnp.asarray(0.6)})
+    expected = (-0.5 * (0.6 / 0.5) ** 2) - (-0.5 * (0.3 / 0.5) ** 2) \
+        + float(np.log(np.exp(-0.5 * 0.6 ** 2) / np.exp(-0.5 * 0.3 ** 2)))  # prior on c
+    assert float(lp1 - lp0) == pytest.approx(expected, abs=1e-4)
+
+
+def test_analytic_basis_with_other_dynamic_solved():
+    """Regression: analytic-basis (solved_power_basis) params coexisting
+    with another dynamically-solved param — the bases are evaluated inside
+    the linearize trace and must be returned from it."""
+    from desilike_tpu.theories import EFTLikeKaiserTracerPowerSpectrumMultipoles, ShapeFitPowerSpectrumTemplate
+    theory = EFTLikeKaiserTracerPowerSpectrumMultipoles(
+        ells=(0, 2), template=ShapeFitPowerSpectrumTemplate(z=1.))
+    theory.init.params = {
+        'ct*': dict(derived='.marg'),                     # analytic basis rows
+        'sigmapar': dict(derived='.best', fixed=False,    # nonlinear -> linearize
+                         prior=dict(dist='norm', loc=4., scale=3.)),
+    }
+    obs = TracerPowerSpectrumMultipolesObservable(
+        data={'b1': 2.0}, klim={0: (0.02, 0.2, 0.01), 2: (0.02, 0.2, 0.01)}, theory=theory)
+    like = ObservablesGaussianLikelihood(observables=[obs],
+                                         footprints=[BoxFootprint(volume=2e9, nbar=5e-4)])
+    fn = like.logpost_fn()
+    names = [p.name for p in like.pipeline.varied_params]
+    vals = {n: jnp.asarray(like.pipeline.params[n].value) for n in names}
+    lp, aux = fn(vals)
+    assert np.isfinite(float(lp))
+    assert 'sigmapar' in aux['solved'] and any(n.startswith('ct') for n in aux['solved'])
+
+
+def test_prec_rebuild_idempotent():
+    """Regression: rebuilding logpost_fn (or calling logpost repeatedly) on a
+    '.prec' likelihood must not re-inflate the covariance."""
+    theory = DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0,))
+    theory.init.params = {'al0_0': dict(derived='.prec', prior=dict(dist='norm', loc=0., scale=100.))}
+    obs = TracerPowerSpectrumMultipolesObservable(
+        data={}, klim={0: (0.02, 0.3, 0.01)}, theory=theory)
+    like = ObservablesGaussianLikelihood(
+        observables=[obs], footprints=[BoxFootprint(volume=1e10, nbar=1e-3)])
+    fn1 = like.logpost_fn()
+    cov1 = np.array(like.covariance)
+    fn2 = like.logpost_fn()
+    np.testing.assert_allclose(np.array(like.covariance), cov1, rtol=0, atol=0)
+    v = {p.name: jnp.asarray(p.value) for p in like.pipeline.varied_params}
+    np.testing.assert_allclose(float(fn1(v)[0]), float(fn2(v)[0]), rtol=1e-6)
