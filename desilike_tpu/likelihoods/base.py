@@ -253,14 +253,14 @@ class BaseLikelihood(Calculator):
                               if hasattr(like, 'flatdiff_white'))
                 # anything read from node state after this function returns
                 # must be RETURNED here — attributes set inside jax.linearize
-                # are leaked tracers outside it.  stop_gradient: these feed
-                # the posterior through primal values only (the non-Gaussian
-                # loglikes do not depend on the solved params; the analytic
-                # bases are constant in them by construction).
-                other_ll = tuple(jax.lax.stop_gradient(like.loglikelihood)
-                                 for like in likelihoods
+                # are leaked tracers outside it.  NO stop_gradient: both the
+                # non-Gaussian loglikes and the analytic basis rows depend on
+                # the VARIED parameters (e.g. bases ~ pk11(qpar, df, ...)), so
+                # the posterior gradient must flow through them; their
+                # tangents w.r.t. the solved directions are ~0 anyway.
+                other_ll = tuple(like.loglikelihood for like in likelihoods
                                  if not hasattr(like, 'flatdiff_white'))
-                abases = tuple(tuple(None if g is None else jax.lax.stop_gradient(g())
+                abases = tuple(tuple(None if g is None else g()
                                      for g in basis_plan[i]) for i in analytic_idx)
                 return diffs, (derived, other_ll, abases)
 

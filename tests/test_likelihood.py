@@ -225,6 +225,9 @@ def test_sum_with_nongaussian_and_dynamic_solved():
     expected = (-0.5 * (0.6 / 0.5) ** 2) - (-0.5 * (0.3 / 0.5) ** 2) \
         + float(np.log(np.exp(-0.5 * 0.6 ** 2) / np.exp(-0.5 * 0.3 ** 2)))  # prior on c
     assert float(lp1 - lp0) == pytest.approx(expected, abs=1e-4)
+    # the GRADIENT must flow through the non-Gaussian loglike too
+    g = jax.grad(lambda v: fn(v)[0])({'a': jnp.asarray(1.0), 'c': jnp.asarray(0.3)})
+    assert float(g['c']) == pytest.approx(-0.3 / 0.25 - 0.3, abs=1e-4)
 
 
 def test_analytic_basis_with_other_dynamic_solved():
@@ -249,6 +252,14 @@ def test_analytic_basis_with_other_dynamic_solved():
     lp, aux = fn(vals)
     assert np.isfinite(float(lp))
     assert 'sigmapar' in aux['solved'] and any(n.startswith('ct') for n in aux['solved'])
+    # the gradient must flow through the analytic J rows' dependence on the
+    # varied params (bases ~ pk11(df, ...)): check vs finite differences
+    def lp_of_df(df):
+        return fn({**vals, 'df': df})[0]
+    g = float(jax.grad(lp_of_df)(jnp.asarray(1.0)))
+    eps = 1e-3
+    fd = (float(lp_of_df(jnp.asarray(1.0 + eps))) - float(lp_of_df(jnp.asarray(1.0 - eps)))) / (2 * eps)
+    assert g == pytest.approx(fd, rel=2e-2), (g, fd)
 
 
 def test_prec_rebuild_idempotent():
