@@ -385,6 +385,11 @@ class ObservableCovariance(BaseClass):
         if self.nobs is None:
             return 1.
         nbins = self.shape[0]
+        if self.nobs <= nbins + 2:
+            raise ValueError(
+                'Hartlap factor undefined: nobs={:d} <= nbins + 2 = {:d} '
+                '(sample covariance of {:d} bins from {:d} mocks is singular '
+                'or the correction diverges)'.format(self.nobs, nbins + 2, nbins, self.nobs))
         return (self.nobs - nbins - 2.) / (self.nobs - 1.)
 
     def percival2014_factor(self, nparams):
@@ -392,6 +397,11 @@ class ObservableCovariance(BaseClass):
         if self.nobs is None:
             return 1.
         nbins = self.shape[0]
+        if self.nobs <= nbins + 4:
+            raise ValueError(
+                'Percival factor undefined: nobs={:d} <= nbins + 4 = {:d} '
+                '(arXiv:1312.4841 eq. 18 diverges in this regime)'.format(
+                    self.nobs, nbins + 4))
         a = 2. / (self.nobs - nbins - 1.) / (self.nobs - nbins - 4.)
         b = (self.nobs - nbins - 2.) / (self.nobs - nbins - 1.) / (self.nobs - nbins - 4.)
         return (1 + b * (nbins - nparams)) / (1 + a + b * (nparams + 1))

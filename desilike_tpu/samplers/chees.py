@@ -97,7 +97,10 @@ class ChEESSampler(NUTSSampler):
             center0 = u - jnp.mean(u, axis=0)
             center1 = u1 - jnp.mean(u1, axis=0)
             jump = jnp.sum(center1 ** 2, axis=1) - jnp.sum(center0 ** 2, axis=1)
-            dtraj = jump * jnp.sum(center1 * (inv_mass * r1), axis=1)
+            # d/dT E[jump^2] ∝ jump * (center1 · v1) (arXiv:2110.11576, eq. 8):
+            # a single jump factor, so negative-jump chains contribute with the
+            # correct sign to the trajectory-length adaptation.
+            dtraj = jnp.sum(center1 * (inv_mass * r1), axis=1)
             w = accept_prob / jnp.maximum(jnp.sum(accept_prob), 1e-12)
             chees_grad = jnp.sum(w * jump * dtraj) * halton  # d/d log T direction
 

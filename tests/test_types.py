@@ -104,6 +104,20 @@ def test_from_observations_and_factors():
     assert cov.observables[0].value[0].mean() > 5.
 
 
+def test_mock_factors_invalid_regime_raises():
+    # nbins = 24; nobs = 26 <= nbins + 2 -> Hartlap undefined
+    cov = make_cov(nmocks=26, nk=8)
+    with pytest.raises(ValueError):
+        cov.hartlap2007_factor()
+    with pytest.raises(ValueError):
+        cov.percival2014_factor(3)
+    # nobs = 28: Hartlap fine (> nbins + 2), Percival still undefined (<= nbins + 4)
+    cov = make_cov(nmocks=28, nk=8)
+    assert 0. < cov.hartlap2007_factor() < 1.
+    with pytest.raises(ValueError):
+        cov.percival2014_factor(3)
+
+
 def test_cov_select_and_names():
     cov = make_cov(nmocks=60, nk=8)
     # select by observable name (wildcard)
