@@ -102,7 +102,11 @@ class ChEESSampler(NUTSSampler):
             # correct sign to the trajectory-length adaptation.
             dtraj = jnp.sum(center1 * (inv_mass * r1), axis=1)
             w = accept_prob / jnp.maximum(jnp.sum(accept_prob), 1e-12)
-            chees_grad = jnp.sum(w * jump * dtraj) * halton  # d/d log T direction
+            # diverged chains have w == 0 but jump/dtraj == nan; 0 * nan = nan
+            # would poison the Adam state permanently — mask them out
+            contrib = jnp.where(jnp.isfinite(jump) & jnp.isfinite(dtraj),
+                                w * jump * dtraj, 0.)
+            chees_grad = jnp.sum(contrib) * halton  # d/d log T direction
 
             # Adam on log T (only while adapting)
             m, v, t = adam
@@ -156,51 +160,71 @@ class ChEESSampler(NUTSSampler):
         h_warm = np.array([halton(i + 1) for i in range(nwarmup)])
         h_samp = np.array([halton(i + 1) for i in range(nwarmup, nwarmup + nsteps)])
 
+        nw1 = int(np.ceil(0.7 * nwarmup))
+        nw2 = nwarmup - nw1
+
         @jax.jit
         def run_all(u0, inv_mass0, eps0, log_T0, keys_warm, keys_samp, h_warm, h_samp):
             lp0, grad0 = jax.vmap(lg)(u0)
             adam0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
 
-            # --- warmup: dual-averaging eps + ChEES T + Welford mass ---
-            mu = jnp.log(10.) + jnp.log(eps0)
-            da0 = (jnp.log(eps0), jnp.log(eps0), jnp.zeros(()))
-            wf0 = (jnp.zeros(ndim), jnp.zeros(()))
+            # --- warmup, two phases (Stan-style windows): ---
+            # A) dual-averaging eps + ChEES T with the initial (hessian) mass,
+            #    collecting the cross-chain variance over the last third only
+            #    (chains start at the ref spread, several sigma wide — early
+            #    variance overestimates the posterior scales);
+            # B) swap in the measured mass, then RE-run a short eps window
+            #    against it: a step size tuned near the leapfrog stability
+            #    boundary for one metric falls off the acceptance cliff under
+            #    another, so eps must be re-tuned after any mass change.
+            def warm_phase(state0, keys, hs, nphase, collect_from):
+                eps_in = state0[3]
+                mu = jnp.log(10.) + jnp.log(eps_in)
+                da0 = (jnp.log(eps_in), jnp.log(eps_in), jnp.zeros(()))
+                wf0 = (jnp.zeros(ndim), jnp.zeros(()))
 
-            def warm_body(carry, inp):
-                state, da, wf, i = carry
-                key, h = inp
-                u, lp, grad, eps, log_T, inv_mass, adam = state
-                state, (_, stats) = step((u, lp, grad, eps, log_T, inv_mass, adam),
-                                         (key, i, h, jnp.asarray(True)))
-                # dual averaging on the cross-chain mean accept
-                log_eps, log_eps_bar, h_bar = da
-                a = stats['accept_prob']
-                t = i + 1.
-                h_bar = (1. - 1. / (t + 10.)) * h_bar + (target - a) / (t + 10.)
-                log_eps = mu - jnp.sqrt(t) / 0.05 * h_bar
-                w_t = t ** -0.75
-                log_eps_bar = w_t * log_eps + (1. - w_t) * log_eps_bar
-                # cross-chain variance, averaged over the second warmup half
-                # (with a dense chain batch the instantaneous cross-chain
-                # variance already estimates the posterior scales)
+                def body(carry, inp):
+                    state, da, wf, i = carry
+                    key, h = inp
+                    state, (_, stats) = step(state, (key, i, h, jnp.asarray(True)))
+                    # dual averaging on the cross-chain mean accept
+                    log_eps, log_eps_bar, h_bar = da
+                    a = stats['accept_prob']
+                    t = i + 1.
+                    h_bar = (1. - 1. / (t + 10.)) * h_bar + (target - a) / (t + 10.)
+                    log_eps = mu - jnp.sqrt(t) / 0.05 * h_bar
+                    w_t = t ** -0.75
+                    log_eps_bar = w_t * log_eps + (1. - w_t) * log_eps_bar
+                    var_sum, cnt = wf
+                    collect = i >= collect_from
+                    bvar = jnp.var(state[0], axis=0)
+                    var_sum = var_sum + jnp.where(collect, bvar, 0.)
+                    cnt = cnt + jnp.where(collect, 1., 0.)
+                    state = (state[0], state[1], state[2], jnp.exp(log_eps), state[4],
+                             state[5], state[6])
+                    return (state, (log_eps, log_eps_bar, h_bar), (var_sum, cnt), i + 1.), None
+
+                (state, da, wf, _), _ = lax.scan(body, (state0, da0, wf0, 0.), (keys, hs))
                 var_sum, cnt = wf
-                collect = i >= (nwarmup // 2)
-                un = state[0]
-                bvar = jnp.var(un, axis=0)
-                var_sum = var_sum + jnp.where(collect, bvar, 0.)
-                cnt = cnt + jnp.where(collect, 1., 0.)
-                state = (state[0], state[1], state[2], jnp.exp(log_eps), state[4],
-                         state[5], state[6])
-                return (state, (log_eps, log_eps_bar, h_bar), (var_sum, cnt), i + 1.), None
+                eps_bar = jnp.where(cnt > 0., jnp.exp(da[1]), eps_in)
+                var = jnp.where(cnt > 2., jnp.clip(var_sum / jnp.maximum(cnt, 1.), 1e-12, 1e12),
+                                state0[5])
+                return state, eps_bar, var
 
             state0 = (u0, lp0, grad0, eps0, log_T0, inv_mass0, adam0)
-            (state, da, wf, _), _ = lax.scan(warm_body, (state0, da0, wf0, 0.),
-                                             (keys_warm, h_warm))
-            # final warmup estimates
-            var_sum, cnt = wf
-            eps_final = jnp.where(cnt > 0., jnp.exp(da[1]), eps0)
-            var = var_sum / jnp.maximum(cnt, 1.)
-            inv_mass = jnp.where(cnt > 2., jnp.clip(var, 1e-12, 1e12), inv_mass0)
+            stateA, epsA, varA = warm_phase(state0, keys_warm[:nw1], h_warm[:nw1],
+                                            nw1, 2 * nw1 // 3)
+            # phase B: new mass; rescale eps by the metric change (displacement
+            # ~ eps*sqrt(inv_mass)) as the re-tuning start point
+            scale = jnp.sqrt(jnp.min(stateA[5] / varA)) if nw2 > 0 else 1.
+            stateB0 = (stateA[0], stateA[1], stateA[2], epsA * scale, stateA[4],
+                       varA, stateA[6])
+            if nw2 > 0:
+                state, eps_final, _ = warm_phase(stateB0, keys_warm[nw1:], h_warm[nw1:],
+                                                 nw2, nw2 + 1)
+            else:
+                state, eps_final = stateB0, epsA
+            inv_mass = state[5]
             u, lp, grad, _, log_T, _, adam = state
 
             # --- sampling: everything frozen ---
