@@ -22,26 +22,41 @@ def _legendre_poly(ell):
     return np.polynomial.legendre.Legendre(c)
 
 
+def _wrap_theory(theory, default, updates):
+    """Instantiate the wrapped multipole theory (``default`` is a lazy factory
+    for the Kaiser tracer model), push config updates into it, and force its
+    static initialization so its grids/multipoles are readable."""
+    if theory is None:
+        theory = default()
+    updates = {key: value for key, value in updates.items() if value is not None}
+    if updates:
+        theory.init.update(**updates)
+    theory.runtime_info.initialize()
+    return theory
+
+
 class BaseFiberCollisionsPowerSpectrumMultipoles(Calculator):
     """P_l(k) corrected for fiber collisions: correlated (mode-mixing kernel)
-    + uncorrelated (shot-noise-like) contributions."""
+    + uncorrelated (shot-noise-like) contributions.
+
+    Counterpart of reference window.py:796-1050; per-eval cost is a single
+    (nell_out*nk_out) x (nell_in*nk_in) contraction of static kernels."""
 
     _state_attrs = ['power']
 
     def initialize(self, k=None, ells=(0, 2, 4), theory=None, with_uncorrelated=True, **kwargs):
-        if k is None:
-            k = np.linspace(0.01, 0.2, 101)
-        self.k = np.asarray(k, dtype='f8')
+        # output grid is ours; the input grid/multipoles come from the theory
+        self.k = np.linspace(0.01, 0.2, 101) if k is None else np.asarray(k, dtype='f8')
         self.ells = tuple(ells)
-        if theory is None:
+        self.with_uncorrelated = bool(with_uncorrelated)
+
+        def default():
             from ..theories.full_shape import KaiserTracerPowerSpectrumMultipoles
-            theory = KaiserTracerPowerSpectrumMultipoles()
-        self.theory = theory
-        self.theory.init.update(**kwargs) if kwargs else None
-        self.theory.runtime_info.initialize()
+            return KaiserTracerPowerSpectrumMultipoles()
+
+        self.theory = _wrap_theory(theory, default, kwargs)
         self.kin = np.asarray(self.theory.k, dtype='f8')
         self.ellsin = tuple(self.theory.ells)
-        self.with_uncorrelated = bool(with_uncorrelated)
 
     def calculate(self, **params):
         power = self.theory.power
@@ -203,22 +218,16 @@ class BaseFiberCollisionsCorrelationFunctionMultipoles(Calculator):
 
     def initialize(self, s=None, ells=(0, 2, 4), theory=None, with_uncorrelated=True, **kwargs):
         self.ells = tuple(ells)
-        if theory is None:
-            from ..theories.full_shape import KaiserTracerCorrelationFunctionMultipoles
-            theory = KaiserTracerCorrelationFunctionMultipoles()
-        self.theory = theory
-        if s is not None:
-            self.theory.init.update(s=s)
-        if kwargs:
-            self.theory.init.update(**kwargs)
-        self.theory.runtime_info.initialize()
-        self.s = np.asarray(self.theory.s, dtype='f8')
-        self.ellsin = tuple(self.theory.ells)
         self.with_uncorrelated = bool(with_uncorrelated)
 
-    @property
-    def sin(self):
-        return self.s
+        def default():
+            from ..theories.full_shape import KaiserTracerCorrelationFunctionMultipoles
+            return KaiserTracerCorrelationFunctionMultipoles()
+
+        self.theory = _wrap_theory(theory, default, dict(kwargs, s=s))
+        # s-diagonal correction: the theory's separation grid is also ours
+        self.s = self.sin = np.asarray(self.theory.s, dtype='f8')
+        self.ellsin = tuple(self.theory.ells)
 
     def calculate(self, **params):
         corr = self.theory.corr

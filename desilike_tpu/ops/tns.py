@@ -13,52 +13,138 @@ precomputed once at initialization in float64 numpy with their series
 patches, so the traced program only contracts them against pk.
 """
 
+from fractions import Fraction
+
 import numpy as np
 import jax.numpy as jnp
 
 
-def _log_ratio(x):
-    """log|(x+1)/(x-1)| with the x=1 singularity masked (series-patched later)."""
-    with np.errstate(divide='ignore', invalid='ignore'):
-        out = np.log(np.abs((x + 1.) / (x - 1.)))
-    return np.where(np.isfinite(out), out, 0.)
+# --------------------------------------------------------------------------
+# A-term 1D radial kernels (Taruya, Nishimichi & Saito 2010, arXiv:1006.0699
+# eq. A3). Each has the closed form
+#
+#     a_m(x) = c_m x^{-p_m} [ 2 x D_m(x^2) + G_m(x^2) log|(x+1)/(x-1)| ]
+#
+# which suffers catastrophic cancellation between the rational and the log
+# pieces as x -> 0 and x -> inf. Rather than hard-coding published Taylor
+# coefficients, the patches are DERIVED here at import time by exact
+# Fraction arithmetic from the same (c, p, D, G) data: substitute the series
+# log|(x+1)/(x-1)| = 2 sum_j t^{2j+1}/(2j+1) with t = x (inner branch) or
+# t = 1/x (outer branch), expand, and check that all singular powers cancel
+# identically — the same generate-at-import scheme ops/spt.py uses for the
+# P13 radial kernels.
+
+def _poly_mul(a, b):
+    out = {}
+    for da, ca in a.items():
+        for db, cb in b.items():
+            out[da + db] = out.get(da + db, Fraction(0)) + ca * cb
+    return out
 
 
-def a_correction_kernels(x):
+def _u_poly(coeffs):
+    """Polynomial in u = x^2, given ascending coefficients -> poly in x."""
+    return {2 * i: Fraction(c) for i, c in enumerate(coeffs)}
+
+
+def _u_poly_pow(coeffs, n):
+    out = {0: Fraction(1)}
+    base = _u_poly(coeffs)
+    for _ in range(n):
+        out = _poly_mul(out, base)
+    return out
+
+
+# (prefactor, inverse power p, D_m coefficients in u, G_m as poly in x)
+_A_KERNEL_FORMS = (
+    (Fraction(-1, 84), 1, (19, -24, 9), _poly_mul(_u_poly([-9]), _u_poly_pow((-1, 1), 3))),
+    (Fraction(1, 112), 3, (3, -11, -11, 3), _poly_mul(_u_poly([-3]), _u_poly_pow((-1, 1), 4))),
+    (Fraction(1, 336), 3, (9, -185, 159, -63), _poly_mul(_u_poly([9, 63]), _u_poly_pow((-1, 1), 3))),
+    None,  # m=3 is identical to m=1
+    (Fraction(1, 336), 3, (9, -109, 63, -27), _poly_mul(_u_poly([9, 27]), _u_poly_pow((-1, 1), 3))),
+)
+
+
+def _expand_a_kernel(c, p, D, G, branch, order=8):
+    """Exact series of a_m around x=0 (branch=+1) or x=inf (branch=-1),
+    as {power-of-x: float} with |power| <= order. Raises if any power that
+    should cancel survives — a structural check on the closed forms."""
+    # log|(x+1)/(x-1)| = 2 sum_{j>=0} t^(2j+1)/(2j+1), t = x or 1/x
+    max_deg = max(G) + p + order + 2
+    log_series = {branch * (2 * j + 1): Fraction(2, 2 * j + 1)
+                  for j in range(max_deg // 2 + 1)}
+    series = _poly_mul(G, log_series)
+    direct = _poly_mul({1: Fraction(2)}, _u_poly(D))
+    for deg, coeff in direct.items():
+        series[deg] = series.get(deg, Fraction(0)) + coeff
+    out = {}
+    for deg, coeff in series.items():
+        deg, coeff = deg - p, c * coeff
+        if coeff == 0:
+            continue
+        if branch * deg > order:
+            continue  # truncation tail
+        if branch * deg < 0:
+            raise AssertionError('singular x^{} survives in A-kernel series'.format(deg))
+        out[deg] = float(coeff)
+    return out
+
+
+def _build_a_patches(order=8):
+    inner, outer = [], []
+    for form in _A_KERNEL_FORMS:
+        if form is None:
+            inner.append(None)
+            outer.append(None)
+            continue
+        c, p, D, G = form
+        inner.append(_expand_a_kernel(c, p, D, G, +1, order))
+        outer.append(_expand_a_kernel(c, p, D, G, -1, order))
+    return inner, outer
+
+
+_A_PATCH_INNER, _A_PATCH_OUTER = _build_a_patches()
+
+
+def _eval_patch(patch, x):
+    out = np.zeros_like(x)
+    for deg, coeff in patch.items():
+        out += coeff * x ** deg
+    return out
+
+
+def a_correction_kernels(x, x_lo=0.05, x_hi=20.):
     """The five 1D radial kernels of the A-term correction
-    (Taruya 2010 eq. A3, second piece ~ P(k) int dq kernel(q/k) P(q)),
-    with Taylor patches at x -> 1, x -> 0, x -> inf. float64 numpy, static.
+    (Taruya 2010 eq. A3, second piece ~ P(k) int dq kernel(q/k) P(q)).
+    float64 numpy, static; the x^-2 jacobian factor is included.
 
-    Returns (5, *x.shape); the x^-2 jacobian factor is included.
+    Outside [x_lo, x_hi] the closed form is replaced by the import-time
+    series (see _expand_a_kernel): the rational and log pieces cancel like
+    x^{2} relative (x^{-2} outer) against terms growing like x^{-p}, so the
+    closed form is noise-dominated well before the kernels' small-x zeros —
+    the cutoffs sit where both representations agree to ~1e-12 absolute.
+    At x = 1 the log coefficient G_m has a (x^2-1)^3 zero, so masking the
+    log there yields the exact limit 2 c_m D_m(1) — no bridging needed.
+
+    Returns (5, *x.shape).
     """
     x = np.asarray(x, dtype='f8')
-    L = _log_ratio(x)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        L = np.log(np.abs((x + 1.) / (x - 1.)))
+    L = np.where(np.isfinite(L), L, 0.)
+    lo, hi = x < x_lo, x > x_hi
     out = np.zeros((5,) + x.shape)
-    x2 = x * x
-    out[0] = -1. / 84. / x * (2. * x * (19. - 24. * x2 + 9. * x2 ** 2) - 9. * (x2 - 1.) ** 3 * L)
-    out[1] = 1. / 112. / x ** 3 * (2. * x * (x2 + 1.) * (3. - 14. * x2 + 3. * x2 ** 2) - 3. * (x2 - 1.) ** 4 * L)
-    out[2] = 1. / 336. / x ** 3 * (2. * x * (9. - 185. * x2 + 159. * x2 ** 2 - 63. * x2 ** 3) + 9. * (x2 - 1.) ** 3 * (7. * x2 + 1.) * L)
-    out[4] = 1. / 336. / x ** 3 * (2. * x * (9. - 109. * x2 + 63. * x2 ** 2 - 27. * x2 ** 3) + 9. * (x2 - 1.) ** 3 * (3. * x2 + 1.) * L)
-
-    # series patches (same expansions as published)
-    lo = x < 1e-4
-    xl = x[lo]
-    out[0][lo] = 8. * xl ** 8 / 735 + 24. * xl ** 6 / 245 - 24. * xl ** 4 / 35 + 8. * xl ** 2 / 7 - 2. / 3
-    out[1][lo] = -16. * xl ** 8 / 8085 - 16. * xl ** 6 / 735 + 48. * xl ** 4 / 245 - 16. * xl ** 2 / 35
-    out[2][lo] = 32. * xl ** 8 / 1617 + 128. * xl ** 6 / 735 - 288. * xl ** 4 / 245 + 64. * xl ** 2 / 35 - 4. / 3
-    out[4][lo] = 24. * xl ** 8 / 2695 + 8. * xl ** 6 / 105 - 24. * xl ** 4 / 49 + 24. * xl ** 2 / 35 - 2. / 3
-    hi = x > 1e2
-    xh = x[hi]
-    out[0][hi] = 2. / 105 - 24. / (245 * xh ** 2) - 8. / (735 * xh ** 4) - 8. / (2695 * xh ** 6) - 8. / (7007 * xh ** 8)
-    out[1][hi] = -16. / 35 + 48. / (245 * xh ** 2) - 16. / (735 * xh ** 4) - 16. / (8085 * xh ** 6) - 16. / (35035 * xh ** 8)
-    out[2][hi] = -44. / 105 - 32. / (735 * xh ** 4) - 64. / (8085 * xh ** 6) - 96. / (35035 * xh ** 8)
-    out[4][hi] = -46. / 105 + 24. / (245 * xh ** 2) - 8. / (245 * xh ** 4) - 8. / (1617 * xh ** 6) - 8. / (5005 * xh ** 8)
-    # near x=1: the exact expression is finite; bridge the log-masked window
-    near = np.abs(x - 1.) < 1e-6
-    if near.any():
-        eps = 1e-4
-        out[:, near] = 0.5 * (a_correction_kernels(x[near] + eps) + a_correction_kernels(x[near] - eps))[:, :]
-    out[3] = out[1]
+    for m, form in enumerate(_A_KERNEL_FORMS):
+        if form is None:
+            out[m] = out[1]
+            continue
+        c, p, D, G = form
+        poly_d = sum(2. * float(d) * x ** (2 * i + 1) for i, d in enumerate(D))
+        poly_g = sum(float(coeff) * x ** deg for deg, coeff in sorted(G.items()))
+        with np.errstate(divide='ignore', invalid='ignore'):
+            exact = float(c) * (poly_d + poly_g * L) / x ** p
+        out[m] = np.where(lo, _eval_patch(_A_PATCH_INNER[m], x),
+                          np.where(hi, _eval_patch(_A_PATCH_OUTER[m], x), exact))
     return out / x ** 2
 
 

@@ -75,50 +75,80 @@ class BaseBAOWigglesPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, W
 
 class DampedBAOWigglesPowerSpectrumMultipoles(BaseBAOWigglesPowerSpectrumMultipoles):
     r"""Damped BAO wiggles P_l(k) (reference bao.py:99; BOSS DR12 Beutler et
-    al. 2017 style).
+    al. 2017 style, arXiv:1607.03149).
 
-    models: 'standard' (Chen 2023 propagator form), 'fog-damping'
-    (Beutler 2016), 'move-all' / 'fix-damping' (Howlett 2023 variants).
+    Every variant is assembled from four named factors, each evaluated at
+    either the observed coordinates (k, mu) or the AP-dilated ones (k', mu'):
+
+    - ``Kaiser(k, mu)`` = (b1 + f mu^2 (1 - S(k)))^2, the linear RSD
+      amplitude, with S(k) = exp(-(k Sigma_sm)^2 / 2) the reconstruction
+      smoothing kernel (nonzero only in 'reciso' mode);
+    - ``FoG(k, mu)`` = [1 + (k mu sigma_s)^2 / 2]^-2, Lorentzian
+      fingers-of-God;
+    - ``D(k, mu)`` = exp(-k^2 (sigma_par^2 mu^2 + sigma_per^2 (1-mu^2)) / 2),
+      anisotropic nonlinear BAO damping;
+    - the wiggle signal, absolute ``Pw = P - Pnw`` or relative
+      ``O = P/Pnw - 1``, always sampled at the AP coordinates (the BAO scale
+      is what the dilation parameters move).
+
+    models:
+    - 'standard' (Chen et al. 2023 propagator form):
+      ``P = Kaiser(k,mu) FoG(k,mu) Pnw(k) + Kaiser(k',mu') D(k',mu') Pw(k')``
+      — smooth part fully at observed coordinates, wiggle part fully
+      AP-dilated (S(k) kept at fiducial k in both, per the reference);
+    - Howlett et al. 2023 family, ``P = Kaiser Pnw x combine(FoG, D O)``:
+      'fog-damping' (Beutler et al. 2016) multiplies, ``FoG (1 + D O)``;
+      otherwise it adds, ``FoG + D O``. 'fix-damping' pins D at observed
+      coordinates; 'move-all' dilates the smooth factors too.
     """
+
+    def _recon_smoothing(self, k):
+        """S(k): large-scale displacement suppression for 'reciso'
+        reconstruction; zero otherwise."""
+        if self.mode == 'reciso':
+            return jnp.exp(-0.5 * (k * self.smoothing_radius) ** 2)
+        return 0.
+
+    def _kaiser(self, b1, f, k, mu):
+        return (b1 + f * mu ** 2 * (1. - self._recon_smoothing(k))) ** 2
+
+    @staticmethod
+    def _fog(sigmas, k, mu):
+        return (1. + 0.5 * (sigmas * k * mu) ** 2) ** -2
+
+    @staticmethod
+    def _damping(sigmapar, sigmaper, k, mu):
+        mu2 = mu ** 2
+        return jnp.exp(-0.5 * k ** 2 * (sigmapar ** 2 * mu2 + sigmaper ** 2 * (1. - mu2)))
 
     def calculate(self, b1=1., dbeta=1., sigmas=0., sigmapar=9., sigmaper=6., **kw):
         f = dbeta * self.template.f
-        jac, kap, muap = self.template.ap_k_mu(self.k, self.mu)
-        pknowap = self.template.pknow_dd_interp(kap)
-        pkap = self.template.pk_dd_interp(kap)
+        kobs, muobs = self.k[:, None], self.mu
+        _, kap, muap = self.template.ap_k_mu(self.k, self.mu)
+        pnw = self.template.pknow_dd_interp
+        wiggle = self.template.pk_dd_interp(kap) - pnw(kap)
+
         if self.model == 'standard':
-            k, mu = self.k[:, None], self.mu
-            pkwap = pkap - pknowap
-            sigma_nl2ap = kap ** 2 * (sigmapar ** 2 * muap ** 2 + sigmaper ** 2 * (1. - muap ** 2))
-            sk = 0.
-            if self.mode == 'reciso':
-                sk = jnp.exp(-0.5 * (k * self.smoothing_radius) ** 2)
-            Cap = (b1 + f * muap ** 2 * (1. - sk)) ** 2 * jnp.exp(-sigma_nl2ap / 2.)
-            fog = 1. / (1. + (sigmas * k * mu) ** 2 / 2.) ** 2
-            B = (b1 + f * mu ** 2 * (1. - sk)) ** 2 * fog
-            pknow = self.template.pknow_dd_interp(k)
-            pkmu = B * pknow + Cap * pkwap
+            smooth = (self._kaiser(b1, f, kobs, muobs) * self._fog(sigmas, kobs, muobs)
+                      * pnw(kobs))
+            # wiggle propagator: everything AP-dilated except S(k), which the
+            # reference takes at fiducial coordinates
+            sk = self._recon_smoothing(kobs)
+            propagator = ((b1 + f * muap ** 2 * (1. - sk)) ** 2
+                          * self._damping(sigmapar, sigmaper, kap, muap))
+            pkmu = smooth + propagator * wiggle
         else:
-            if 'fix-damping' in self.model:
-                k, mu = self.k[:, None], self.mu
-            else:
-                k, mu = kap, muap
-            sigma_nl2 = k ** 2 * (sigmapar ** 2 * mu ** 2 + sigmaper ** 2 * (1. - mu ** 2))
-            damped_wiggles = (pkap - pknowap) / pknowap * jnp.exp(-sigma_nl2 / 2.)
-            if 'move-all' in self.model:
-                k, mu = kap, muap
-            else:
-                k, mu = self.k[:, None], self.mu
-            pknow = self.template.pknow_dd_interp(k)
-            fog = 1. / (1. + (sigmas * k * mu) ** 2 / 2.) ** 2
-            sk = 0.
-            if self.mode == 'reciso':
-                sk = jnp.exp(-0.5 * (k * self.smoothing_radius) ** 2)
-            pksmooth = (b1 + f * mu ** 2 * (1. - sk)) ** 2 * pknow
+            fix_damping = 'fix-damping' in self.model
+            move_all = 'move-all' in self.model
+            kd, mud = (kobs, muobs) if fix_damping else (kap, muap)
+            ks, mus = (kap, muap) if move_all else (kobs, muobs)
+            damped_ratio = wiggle / pnw(kap) * self._damping(sigmapar, sigmaper, kd, mud)
+            smooth = self._kaiser(b1, f, ks, mus) * pnw(ks)
+            fog = self._fog(sigmas, ks, mus)
             if 'fog-damping' in self.model:
-                pkmu = pksmooth * fog * (1. + damped_wiggles)
+                pkmu = smooth * fog * (1. + damped_ratio)
             else:
-                pkmu = pksmooth * (fog + damped_wiggles)
+                pkmu = smooth * (fog + damped_ratio)
         self.power = self.to_poles(pkmu)
 
 

@@ -104,3 +104,20 @@ def test_efttns_marginalizable_counterterms():
     for name in ('ct0_2', 'ct2_2', 'sn0', 'sn2_2'):
         if name in aux['solved']:
             assert abs(float(aux['solved'][name])) < 0.5, (name, aux['solved'][name])
+
+
+def test_a_kernel_series_matches_closed_form():
+    """The import-time Fraction-derived patches agree with the closed form
+    at both cutoff boundaries, and the masked log gives the exact x=1 limit."""
+    from desilike_tpu.ops.tns import a_correction_kernels
+    for x0 in (0.04, 0.06, 15., 25.):
+        xs = np.full(1, x0)
+        direct = a_correction_kernels(xs, x_lo=0., x_hi=np.inf)
+        patched = a_correction_kernels(xs, x_lo=(np.inf if x0 < 1 else 0.),
+                                       x_hi=(np.inf if x0 < 1 else 0.))
+        np.testing.assert_allclose(direct, patched, rtol=0, atol=1e-9)
+    k1 = a_correction_kernels(np.array([1.0]))
+    # G_m has a (x^2-1)^3 zero at x=1, so the limit is 2 c_m D_m(1) / x^2
+    np.testing.assert_allclose(k1[0, 0], (-1. / 84.) * 2. * (19. - 24. + 9.))
+    np.testing.assert_allclose(k1[2, 0], (1. / 336.) * 2. * (9. - 185. + 159. - 63.))
+    np.testing.assert_allclose(k1[3], k1[1])
