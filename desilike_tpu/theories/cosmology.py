@@ -1,12 +1,18 @@
 """Cosmology calculator node: the differentiable Boltzmann-lite backend.
 
 Counterpart of the reference's ``Cosmoprimo`` node
-(theories/primordial_cosmology.py:78), which wraps CLASS/CAMB. Here the
-backend is the in-framework EH98 + differentiable background
-(:mod:`desilike_tpu.cosmology`), so direct-cosmology fits are end-to-end
-differentiable with no external Boltzmann code. Tabulated external pk
-(e.g. from CLASS) can be injected for production template fits via
-``FixedLinearPower``.
+(theories/primordial_cosmology.py:78), which wraps CLASS/CAMB. Engines, in
+decreasing accuracy for standalone direct-cosmology fits:
+
+- ``'emulator'`` — the production standalone path: a trained MLP correction
+  to EH98 (cosmology/emulator.py) delivering Boltzmann-quality linear pk
+  and rs_drag, differentiable end to end;
+- ``'table'`` — an injected Boltzmann pk at the fiducial cosmology with
+  exact+EH98-ratio parameter response (best when sampling near fiducial);
+- ``'external'`` — per-evaluation host-code products (bindings);
+- ``'eh98'`` / ``'eh99'`` — clearly-approximate (few-percent transfer
+  function) self-contained fallbacks; eh99 adds the massive-neutrino
+  free-streaming suppression (astro-ph/9710252).
 """
 
 import numpy as np
@@ -75,19 +81,34 @@ class Cosmology(Calculator):
         return params
 
     def initialize(self, fiducial=None, fixed=True, engine='eh98', pk_table=None,
-                   z_grid=None, k_grid=None, zpk_grid=None, theta=False):
+                   z_grid=None, k_grid=None, zpk_grid=None, theta=False, emulator=None):
         base = dict(bg.DEFAULT_PARAMS)
         if fiducial:
             base.update(fiducial)
         self.fiducial_values = base
         self._use_theta = bool(theta)
         self.engine = str(engine)
-        if self.engine not in ('eh98', 'eh99', 'table', 'external'):
-            raise ValueError("engine must be 'eh98' (approximate, self-contained), "
-                             "'eh99' (eh98 + the EH99 massive-neutrino free-streaming "
-                             'suppression and scale-dependent growth, astro-ph/9710252), '
-                             "'table' (injected Boltzmann pk, production path) or "
+        if self.engine not in ('eh98', 'eh99', 'table', 'external', 'emulator'):
+            raise ValueError("engine must be 'eh98'/'eh99' (approximate few-percent "
+                             'transfer functions, self-contained), '
+                             "'emulator' (trained Boltzmann-correction MLP — the "
+                             'Boltzmann-quality standalone path, see '
+                             'cosmology/emulator.py), '
+                             "'table' (injected Boltzmann pk, fiducial-pinned response) or "
                              "'external' (per-evaluation host-code products, bindings)")
+        if self.engine == 'emulator':
+            from ..cosmology import emulator as emu
+            if emulator is None:
+                raise ValueError("engine='emulator' needs emulator=<weights dict or "
+                                 '.npz path from cosmology.emulator.train_pk_emulator>')
+            self._emu_weights = emu.load_weights(emulator) if isinstance(emulator, (str,)) \
+                or hasattr(emulator, '__fspath__') else emulator
+            missing = [n for n in self._emu_weights['param_names'] if n not in base]
+            if missing:
+                raise ValueError('emulator expects unknown parameters {}'.format(missing))
+            # static no-wiggle companion: Gaussian ln-k smoothing of the
+            # predicted ln-ratio removes its residual BAO-phase wiggles
+            self._emu_smooth = lin.smoothing_matrix(np.log(np.asarray(self._emu_weights['k_grid'])))
         if self.engine == 'table':
             if pk_table is None:
                 raise ValueError("engine='table' needs pk_table=(k, pk) at z=0 from a "
@@ -169,6 +190,28 @@ class Cosmology(Calculator):
             p['h'] = h
             self.h = h
         self.p = bg.resolve(p)
+        if self.engine == 'emulator':
+            from ..cosmology import emulator as emu
+            theta = jnp.stack([jnp.asarray(self.p[name], dtype=jnp.result_type(float))
+                               for name in self._emu_weights['param_names']])
+            self._emu_lnr, self._emu_rs_ratio = emu.predict_tables(self._emu_weights, theta)
+            self._emu_lnr_smooth = self._emu_lnr @ jnp.asarray(self._emu_smooth).T
+
+    # --- emulator-engine helpers ---
+
+    def _emu_z_bracket(self, z):
+        zg = jnp.asarray(self._emu_weights['z_grid'])
+        z = jnp.asarray(z)
+        iz = jnp.clip(jnp.searchsorted(zg, z) - 1, 0, len(zg) - 2)
+        t = jnp.clip((z - zg[iz]) / (zg[iz + 1] - zg[iz]), 0., 1.)
+        return zg, iz, t
+
+    def _emu_lnratio_at(self, table, k, z):
+        """Bilinear: rows linear in z, ln k within; edge-clamped outside."""
+        _, iz, t = self._emu_z_bracket(z)
+        row = (1. - t) * table[iz] + t * table[iz + 1]
+        lnk_grid = jnp.log(jnp.asarray(self._emu_weights['k_grid']))
+        return jnp.interp(jnp.log(jnp.asarray(k)), lnk_grid, row)
 
     # --- background ---
 
@@ -194,6 +237,8 @@ class Cosmology(Calculator):
     def rs_drag(self):
         if self.engine == 'external':
             return jnp.asarray(self.rs_drag_tab)
+        if self.engine == 'emulator':
+            return bg.rs_drag(self.p) * self._emu_rs_ratio
         return bg.rs_drag(self.p)
 
     @property
@@ -230,6 +275,15 @@ class Cosmology(Calculator):
         if self.engine == 'eh99':
             from ..cosmology import eh
             return f * eh.growth_rate_ratio(self.p, k, z)
+        if self.engine == 'emulator':
+            # the ratio table carries the scale-dependent growth:
+            # f(k,z) = f_bg(z) + dln sqrt(r)/dln a = f_bg - (1+z)/2 dln r/dz,
+            # with the z-derivative from the table's piecewise-linear slope
+            zg, iz, _ = self._emu_z_bracket(z)
+            slope_rows = (self._emu_lnr[iz + 1] - self._emu_lnr[iz]) / (zg[iz + 1] - zg[iz])
+            lnk_grid = jnp.log(jnp.asarray(self._emu_weights['k_grid']))
+            slope = jnp.interp(jnp.log(jnp.asarray(k)), lnk_grid, slope_rows)
+            return f - 0.5 * (1. + jnp.asarray(z)) * slope
         return f * jnp.ones(jnp.asarray(k).shape)
 
     def pk_dd(self, k, z):
@@ -237,6 +291,8 @@ class Cosmology(Calculator):
             return lin.pk_lin_table(self.p, self._p_fid, self._lnk_tab, self._lnpk_tab, k, z)
         if self.engine == 'external':
             return self._pk_external(k, z)
+        if self.engine == 'emulator':
+            return lin.pk_lin(self.p, k, z) * jnp.exp(self._emu_lnratio_at(self._emu_lnr, k, z))
         if self.engine == 'eh99':
             from ..cosmology import eh
             return lin.pk_lin(self.p, k, z) * eh.neutrino_ratio(self.p, k, z)
@@ -252,6 +308,11 @@ class Cosmology(Calculator):
             # (a no-wiggle reference for wiggle-split filters)
             alpha = (self.sigma8(z) / lin.sigma_r(self.p, 8., z)) ** 2
             return alpha * lin.pk_lin(self.p, k, z, nowiggle=True)
+        if self.engine == 'emulator':
+            # ln-k-smoothed ratio: broadband correction without re-importing
+            # the truth table's residual BAO-phase wiggles
+            return (lin.pk_lin(self.p, k, z, nowiggle=True)
+                    * jnp.exp(self._emu_lnratio_at(self._emu_lnr_smooth, k, z)))
         if self.engine == 'eh99':
             from ..cosmology import eh
             return lin.pk_lin(self.p, k, z, nowiggle=True) * eh.neutrino_ratio(self.p, k, z)
@@ -263,7 +324,7 @@ class Cosmology(Calculator):
                 self.p, self._p_fid, self._lnk_tab, self._lnpk_tab, k, z))
         if self.engine == 'external':
             return lin.sigma_r(self.p, r, z, pk_func=lambda k: self._pk_external(k, z))
-        if self.engine == 'eh99':
+        if self.engine in ('eh99', 'emulator'):
             return lin.sigma_r(self.p, r, z, pk_func=lambda k: self.pk_dd(k, z))
         return lin.sigma_r(self.p, r, z)
 

@@ -291,13 +291,13 @@ class DirectPowerSpectrumTemplate(BasePowerSpectrumTemplate):
 
     def initialize(self, k=None, z=1., fiducial=None, with_now='peakaverage',
                    only_now=False, eta=1. / 3., varied=('h', 'omega_cdm', 'omega_b', 'logA', 'n_s'),
-                   engine='eh98', pk_table=None, cosmo=None):
+                   engine='eh98', pk_table=None, emulator=None, cosmo=None):
         if cosmo is not None:
             self.cosmo = cosmo
             engine = cosmo.init.get('engine', engine)
         else:
             self.cosmo = Cosmology(fiducial=fiducial if isinstance(fiducial, dict) else None,
-                                   engine=engine, pk_table=pk_table)
+                                   engine=engine, pk_table=pk_table, emulator=emulator)
         if engine != 'external':
             # external mode: the HOST code varies the cosmology and injects
             # its products (reference bindings/base.py cosmo_requires flow)
