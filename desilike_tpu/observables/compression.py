@@ -15,6 +15,20 @@ from ..theories.extractors import (BAOExtractor, ShapeFitPowerSpectrumExtractor,
                                    WiggleSplitPowerSpectrumExtractor,
                                    BandVelocityPowerSpectrumExtractor,
                                    TurnOverPowerSpectrumExtractor)
+from ..interop import load_source
+
+
+def _is_source(obj):
+    """True for Chain/Profiles instances, paths, or sequences thereof."""
+    from ..samples.chain import Chain
+    from ..samples.profiles import Profiles
+    if isinstance(obj, (Chain, Profiles)):
+        return True
+    if isinstance(obj, str) or hasattr(obj, '__fspath__'):
+        return True
+    if isinstance(obj, (list, tuple)) and obj:
+        return _is_source(obj[0])
+    return False
 
 
 class BaseCompressionObservable(Calculator):
@@ -40,7 +54,7 @@ class BaseCompressionObservable(Calculator):
     _default_quantities = ['DM_over_rd', 'DH_over_rd']
 
     def initialize(self, data=None, covariance=None, quantities=None, z=1.,
-                   cosmo=None, fiducial=None, **kwargs):
+                   cosmo=None, fiducial=None, burnin=None, **kwargs):
         if quantities is None:
             quantities = self._quantities_default(kwargs)
         self.quantities = list(quantities)
@@ -48,6 +62,19 @@ class BaseCompressionObservable(Calculator):
         if fiducial is not None:
             kw['fiducial'] = fiducial
         self.extractor = self._extractor_cls(**kw)
+        # chains/profiles/paths accepted directly (reference compression.py:54
+        # via load_source): best-fit point for the data vector; if no explicit
+        # covariance is given, the source's sample covariance is used
+        if _is_source(data):
+            source = data
+            data = load_source(source, choice={'index': 'argmax'}, burnin=burnin,
+                               params=self.quantities)
+            if covariance is None:
+                _, covariance = load_source(source, cov=True, burnin=burnin,
+                                            params=self.quantities)
+        if _is_source(covariance):
+            _, covariance = load_source(covariance, cov=True, burnin=burnin,
+                                        params=self.quantities)
         if isinstance(data, dict):
             data = [data[q] for q in self.quantities]
         self.flatdata = np.asarray(data, dtype='f8').ravel()

@@ -175,8 +175,12 @@ class Cosmology(Calculator):
         p.update({k: v for k, v in params.items() if k in p or k in ('A_s',)})
         if self._use_theta and 'theta_MC_100' in params:
             # solve h from 100 theta_* by Newton with AD derivatives
-            # (differentiable end to end; theta_* is smooth and monotone in h
-            # so 6 steps from the fiducial converge far below float precision)
+            # (differentiable end to end; theta_* is smooth and monotone in h).
+            # Iterates are clipped to the physical box so far-from-fiducial
+            # targets cannot send Newton off to negative h, and the result is
+            # guarded: an unconverged solve returns NaN, which the likelihood
+            # error policy maps to -inf rather than silently polluting the
+            # pipeline with a wrong h.
             import jax
             target = jnp.asarray(params['theta_MC_100'], dtype=jnp.result_type(float))
 
@@ -184,9 +188,11 @@ class Cosmology(Calculator):
                 return bg.theta_star_100(bg.resolve({**p, 'h': h}))
 
             h = jnp.asarray(p['h'], dtype=target.dtype)
-            for _ in range(6):
+            for _ in range(8):
                 val, dval = jax.value_and_grad(theta_fn)(h)
-                h = h - (val - target) / dval
+                h = jnp.clip(h - (val - target) / dval, 0.05, 1.5)
+            residual = theta_fn(h) - target
+            h = jnp.where(jnp.abs(residual) < 1e-6 * target, h, jnp.nan)
             p['h'] = h
             self.h = h
         self.p = bg.resolve(p)

@@ -200,3 +200,27 @@ def test_eh99_sigma8_consistent_with_pk():
     s8_a = float(cosmo.sigma8(0.5))
     s8_b = float(cosmo.sigma_r(8., 0.5))
     np.testing.assert_allclose(s8_a, s8_b, rtol=1e-6)
+
+
+def test_theta_solve_far_from_fiducial_guarded():
+    """The theta_MC_100 -> h Newton solve converges across the full prior box
+    (clipped iterates) and returns NaN rather than a silently-unconverged h
+    for unattainable targets."""
+    import jax.numpy as jnp
+    from desilike_tpu.theories.cosmology import Cosmology
+    from desilike_tpu.cosmology import background as bg
+    from desilike_tpu.core import Pipeline
+
+    cosmo = Cosmology(theta=True, fixed=('theta_MC_100',))
+    pipe = Pipeline(cosmo)
+    # far-from-fiducial but attainable angles (h well away from 0.6736)
+    for factor in (0.90, 0.95, 1.05, 1.10):
+        target = 1.04109 * factor
+        pipe.evaluate({'theta_MC_100': target})
+        h = float(cosmo.h)
+        assert np.isfinite(h), (factor, h)
+        assert abs(float(bg.theta_star_100(cosmo.p)) / target - 1.) < 1e-6
+    # an unattainable angle must come back NaN (-> -inf loglike downstream),
+    # never a wrong finite h
+    pipe.evaluate({'theta_MC_100': 3.0})
+    assert np.isnan(float(cosmo.h))

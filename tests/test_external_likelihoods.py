@@ -194,3 +194,39 @@ def test_baophaseshift_extractor_and_compression():
     lp0 = float(fn({'N_ur': jnp.asarray(2.0328)})[0])
     lp1 = float(fn({'N_ur': jnp.asarray(3.2)})[0])
     assert np.isfinite(lp0) and lp0 > lp1
+
+
+def test_compression_from_chain_source(tmp_path):
+    """Chains/paths load directly as compression data via load_source
+    (reference compression.py:54): best-fit point as data vector, sample
+    covariance when none is given."""
+    from desilike_tpu.samples.chain import Chain
+    from desilike_tpu.theories.extractors import BAOExtractor
+
+    ext = BAOExtractor(z=0.8, cosmo=varied_cosmo(('h', 'omega_cdm')))
+    ext.pipeline.evaluate({})
+    center = np.array([float(ext.DM_over_rd), float(ext.DH_over_rd)])
+    rng = np.random.default_rng(3)
+    n = 4000
+    cov_true = np.array([[0.04, 0.01], [0.01, 0.0225]])
+    draws = rng.multivariate_normal(center, cov_true, size=n)
+    lp = -0.5 * np.einsum('ni,ij,nj->n', draws - center, np.linalg.inv(cov_true), draws - center)
+    chain = Chain({'DM_over_rd': draws[:, 0], 'DH_over_rd': draws[:, 1], 'logposterior': lp})
+
+    obs = BAOCompressionObservable(data=chain, z=0.8, cosmo=varied_cosmo(('h', 'omega_cdm')))
+    obs.runtime_info.initialize()
+    # data = best-fit sample; covariance = chain sample covariance
+    i = int(np.argmax(lp))
+    np.testing.assert_allclose(obs.flatdata, draws[i], rtol=1e-12)
+    np.testing.assert_allclose(obs.covariance, np.cov(draws.T), rtol=1e-8)
+
+    # path round-trip + explicit chain covariance source
+    fn = tmp_path / 'chain.npz'
+    chain.save(fn)
+    obs2 = BAOCompressionObservable(data=str(fn), covariance=chain, z=0.8,
+                                    cosmo=varied_cosmo(('h', 'omega_cdm')))
+    obs2.runtime_info.initialize()
+    np.testing.assert_allclose(obs2.flatdata, obs.flatdata)
+    like = ObservablesGaussianLikelihood(observables=[obs2])
+    lp0, _ = like.logpost_fn()({'h': jnp.asarray(0.6736), 'omega_cdm': jnp.asarray(0.12)})
+    assert np.isfinite(float(lp0))
