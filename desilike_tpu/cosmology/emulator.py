@@ -110,11 +110,13 @@ def make_targets(names, X, pk_tables, rs_drags, k_grid, z_grid):
     return np.asarray(rows)
 
 
-def train_pk_emulator(names, X, Y, k_grid, z_grid, hidden=(128, 128),
-                      nsteps=8000, learning_rate=3e-3, seed=3, holdout=0.1,
-                      batch=None):
-    """Train the correction MLP. Returns a weights dict (see apply_mlp for
-    the layout) including held-out max |pk ratio error| in 'holdout_err'."""
+def train_mlp(names, X, Y, hidden=(128, 128), nsteps=8000, learning_rate=3e-3,
+              seed=3, holdout=0.1):
+    """Generic full-batch MLP regression X -> Y with per-output
+    normalization. Returns a weights dict (see predict_raw for the layout)
+    plus '_holdout_idx' (indices of the held-out rows, for task-specific
+    error metrics). Shared by the pk engine and the emulated-Cl engine
+    (likelihoods/cmb)."""
     import optax
 
     X = np.asarray(X, dtype='f8')
@@ -153,16 +155,25 @@ def train_pk_emulator(names, X, Y, k_grid, z_grid, hidden=(128, 128),
     for _ in range(int(nsteps)):
         layers, state, l = step(layers, state)
 
-    weights = {'param_names': tuple(names),
-               'k_grid': np.asarray(k_grid, dtype='f8'),
-               'z_grid': np.asarray(z_grid, dtype='f8'),
-               'x_mean': np.asarray(xm), 'x_std': np.asarray(xs),
-               'y_mean': np.asarray(ym), 'y_std': np.asarray(ys),
-               'layers': [(np.asarray(W), np.asarray(b)) for W, b in layers],
-               'loss': float(l)}
+    return {'param_names': tuple(names),
+            'x_mean': np.asarray(xm), 'x_std': np.asarray(xs),
+            'y_mean': np.asarray(ym), 'y_std': np.asarray(ys),
+            'layers': [(np.asarray(W), np.asarray(b)) for W, b in layers],
+            'loss': float(l), '_holdout_idx': idx_ho}
+
+
+def train_pk_emulator(names, X, Y, k_grid, z_grid, hidden=(128, 128),
+                      nsteps=8000, learning_rate=3e-3, seed=3, holdout=0.1):
+    """Train the pk-correction MLP. Returns a weights dict including held-out
+    max |pk ratio error| in 'holdout_err'."""
+    weights = train_mlp(names, X, Y, hidden=hidden, nsteps=nsteps,
+                        learning_rate=learning_rate, seed=seed, holdout=holdout)
+    idx_ho = weights.pop('_holdout_idx')
+    weights['k_grid'] = np.asarray(k_grid, dtype='f8')
+    weights['z_grid'] = np.asarray(z_grid, dtype='f8')
     # held-out accuracy in pk-ratio space: |exp(pred - truth) - 1|
-    pred = np.asarray(predict_raw(weights, jnp.asarray(X[idx_ho])))
-    err = np.abs(np.exp(pred - Y[idx_ho]) - 1.)
+    pred = np.asarray(predict_raw(weights, jnp.asarray(np.asarray(X)[idx_ho])))
+    err = np.abs(np.exp(pred - np.asarray(Y)[idx_ho]) - 1.)
     weights['holdout_err'] = float(err.max())
     return weights
 
@@ -196,12 +207,19 @@ def predict_tables(weights, theta):
 # IO
 
 def save_weights(filename, weights):
-    meta = {'param_names': list(weights['param_names']),
-            'nlayers': len(weights['layers']),
-            'loss': weights.get('loss'), 'holdout_err': weights.get('holdout_err')}
-    arrays = {'meta': np.array(json.dumps(meta))}
-    for name in ('k_grid', 'z_grid', 'x_mean', 'x_std', 'y_mean', 'y_std'):
-        arrays[name] = np.asarray(weights[name])
+    """Persist a weights dict: 'layers' is split into W%d/b%d arrays, other
+    ndarray values saved verbatim, everything else (names, scalars, nested
+    dicts of floats) goes into the json meta."""
+    meta, arrays = {'nlayers': len(weights['layers'])}, {}
+    for key, value in weights.items():
+        if key == 'layers' or key.startswith('_'):
+            continue
+        if isinstance(value, np.ndarray):
+            arrays[key] = value
+        else:
+            meta[key] = list(value) if isinstance(value, tuple) else value
+    meta['_array_keys'] = sorted(arrays)
+    arrays['meta'] = np.array(json.dumps(meta))
     for i, (W, b) in enumerate(weights['layers']):
         arrays['W%d' % i] = np.asarray(W)
         arrays['b%d' % i] = np.asarray(b)
@@ -211,10 +229,10 @@ def save_weights(filename, weights):
 def load_weights(filename):
     loaded = np.load(str(filename), allow_pickle=False)
     meta = json.loads(str(loaded['meta']))
-    weights = {'param_names': tuple(meta['param_names']),
-               'loss': meta.get('loss'), 'holdout_err': meta.get('holdout_err')}
-    for name in ('k_grid', 'z_grid', 'x_mean', 'x_std', 'y_mean', 'y_std'):
-        weights[name] = loaded[name]
-    weights['layers'] = [(loaded['W%d' % i], loaded['b%d' % i])
-                         for i in range(int(meta['nlayers']))]
+    array_keys = meta.pop('_array_keys')
+    nlayers = meta.pop('nlayers')
+    weights = {k: (tuple(v) if isinstance(v, list) else v) for k, v in meta.items()}
+    for key in array_keys:
+        weights[key] = loaded[key]
+    weights['layers'] = [(loaded['W%d' % i], loaded['b%d' % i]) for i in range(nlayers)]
     return weights

@@ -12,3 +12,7 @@ from .act_dr6_lensing import ACTDR6LensingLikelihood
 from .hillipop import (BaseHillipopLikelihood, TTTEEEHighlPlanck2020HillipopLikelihood,
                        TTHighlPlanck2020HillipopLikelihood, EEHighlPlanck2020HillipopLikelihood,
                        TEHighlPlanck2020HillipopLikelihood)
+from .camspec import (BasePlanckNPIPECamspecLikelihood,
+                      TTTEEEHighlPlanckNPIPECamspecLikelihood,
+                      TTHighlPlanckNPIPECamspecLikelihood,
+                      synthetic_camspec_data)
