@@ -16,3 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+
+def pytest_configure(config):
+    config.addinivalue_line('markers', 'slow: multi-process / long-running tests')
