@@ -100,26 +100,91 @@ class Differentiation(BaseClass):
                             arr = arr[..., i]
                         arrays[k].append(arr[None, ...])
         elif self.method == 'finite':
-            deltas = np.array([p.delta if np.ndim(p.delta) == 0 and p.delta else
-                               (p.proposal or 0.01) / 10. for p in self.varied_params], dtype='f8')
-            f0 = {k: np.asarray(v) for k, v in value.items()}
-            for i, name in enumerate(self.names):
-                if self.order[name] < 1:
-                    continue
-                e = np.zeros(len(self.names))
-                e[i] = deltas[i]
-                fp = fn_dict(theta0 + jnp.asarray(e))
-                fm = fn_dict(theta0 - jnp.asarray(e))
-                derivs_list.append(Deriv((name,)))
-                for k in arrays:
-                    arrays[k].append(((np.asarray(fp[k]) - np.asarray(fm[k])) / (2 * deltas[i]))[None, ...])
-                if self.order[name] >= 2:
-                    derivs_list.append(Deriv({name: 2}))
-                    for k in arrays:
-                        arrays[k].append(((np.asarray(fp[k]) - 2 * f0[k] + np.asarray(fm[k])) / deltas[i] ** 2)[None, ...])
+            self._finite_differences(fn_dict, theta0, value, derivs_list, arrays)
         else:
             raise ValueError('unknown method {}'.format(self.method))
 
         for k in arrays:
             results[k] = DerivArray(np.concatenate(arrays[k], axis=0), derivs=list(derivs_list))
         return results
+
+    # central-difference stencils in units of 1/h (first derivative) and
+    # 1/h^2 (second derivative); offsets are multiples of the step
+    # (reference differentiation.py:19-93 builds these from a generic
+    # non-uniform-grid solve — on a uniform prior-clamped grid the classic
+    # coefficients are exact)
+    _STENCIL_D1 = {2: {-1: -0.5, 1: 0.5},
+                   4: {-2: 1. / 12., -1: -8. / 12., 1: 8. / 12., 2: -1. / 12.}}
+    _STENCIL_D2 = {2: {-1: 1., 0: -2., 1: 1.},
+                   4: {-2: -1. / 12., -1: 16. / 12., 0: -30. / 12., 1: 16. / 12., 2: -1. / 12.}}
+
+    def _clamped_deltas(self, theta0):
+        """Steps shrunk so every stencil point stays inside the prior limits
+        (reference differentiation.py:306-352 clamps the grid likewise)."""
+        reach = max(abs(o) for o in self._STENCIL_D1[self.accuracy])
+        deltas = np.empty(len(self.names))
+        for i, p in enumerate(self.varied_params):
+            delta = p.delta if np.ndim(p.delta) == 0 and p.delta else (p.proposal or 0.01) / 10.
+            lims = p.prior.limits if p.prior is not None else (-np.inf, np.inf)
+            center = float(theta0[i])
+            room = min(center - lims[0] if np.isfinite(lims[0]) else np.inf,
+                       lims[1] - center if np.isfinite(lims[1]) else np.inf)
+            if room <= 0:
+                raise ValueError('parameter {} sits on its prior boundary; cannot place a '
+                                 'central finite-difference stencil'.format(p.name))
+            deltas[i] = min(float(delta), room / reach * (1. - 1e-9))
+        return deltas
+
+    def _finite_differences(self, fn_dict, theta0, value, derivs_list, arrays):
+        """Finite-difference branch: accuracy-2 or -4 central stencils, mixed
+        second partials (product stencils), prior-limit-clamped steps.
+        Supports total order <= 2 (the emulator/Fisher use cases); the
+        autodiff path covers arbitrary order."""
+        if self.accuracy not in self._STENCIL_D1:
+            raise ValueError('accuracy must be one of {}'.format(tuple(self._STENCIL_D1)))
+        if max(self.order.values()) > 2:
+            raise ValueError("method='finite' supports order <= 2; use method='auto' "
+                             'for higher orders')
+        deltas = self._clamped_deltas(theta0)
+        d1 = self._STENCIL_D1[self.accuracy]
+        d2 = self._STENCIL_D2[self.accuracy]
+        ndim = len(self.names)
+        cache = {(): {k: np.asarray(v) for k, v in value.items()}}
+
+        def feval(offsets):
+            """offsets: tuple of (param index, multiple-of-delta)."""
+            key = tuple(sorted(o for o in offsets if o[1]))
+            if key not in cache:
+                e = np.zeros(ndim)
+                for i, mult in key:
+                    e[i] = mult * deltas[i]
+                cache[key] = {k: np.asarray(v) for k, v in fn_dict(theta0 + jnp.asarray(e)).items()}
+            return cache[key]
+
+        def accumulate(deriv, combos):
+            """combos: list of (coefficient, offsets)."""
+            derivs_list.append(deriv)
+            for k in arrays:
+                total = 0.
+                for coeff, offsets in combos:
+                    total = total + coeff * feval(offsets)[k]
+                arrays[k].append(np.asarray(total)[None, ...])
+
+        for i, name in enumerate(self.names):
+            if self.order[name] < 1:
+                continue
+            accumulate(Deriv((name,)),
+                       [(c / deltas[i], ((i, o),)) for o, c in d1.items()])
+            if self.order[name] >= 2:
+                accumulate(Deriv({name: 2}),
+                           [(c / deltas[i] ** 2, ((i, o),)) for o, c in d2.items()])
+        # mixed second partials via the product of first-derivative stencils
+        # (accuracy-preserving); included under the same order rule as the
+        # autodiff path: total order <= min(order of each involved param)
+        for i in range(ndim):
+            for j in range(i + 1, ndim):
+                if min(self.order[self.names[i]], self.order[self.names[j]]) < 2:
+                    continue
+                combos = [(ci * cj / (deltas[i] * deltas[j]), ((i, oi), (j, oj)))
+                          for oi, ci in d1.items() for oj, cj in d1.items()]
+                accumulate(Deriv((self.names[i], self.names[j])), combos)

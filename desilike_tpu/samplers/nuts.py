@@ -212,13 +212,24 @@ class NUTSSampler(BasePosteriorSampler):
     """
 
     def __init__(self, likelihood, nchains=8, max_depth=8, target_accept=0.8,
-                 pool_adaptation=None, **kwargs):
+                 pool_adaptation=None, trajectory=None, **kwargs):
         super().__init__(likelihood, **kwargs)
         self.nchains = int(nchains)
         self.max_depth = int(max_depth)
         self.target_accept = float(target_accept)
         # pool warmup adaptation across chains by default in the many-chain regime
         self.pool_adaptation = (self.nchains >= 32) if pool_adaptation is None else bool(pool_adaptation)
+        # The vmapped tree is lockstep: every chain waits for the deepest
+        # tree in the batch, an ~8x gradient-throughput tax at >=1024 chains.
+        # trajectory='jitter' keeps the NUTS warmup (tree-based adaptation of
+        # eps/mass) but samples with DENSE fixed-budget HMC at the
+        # warmup-measured mean path length, halton-jittered and shared across
+        # the batch — the default in the many-chain regime.
+        if trajectory is None:
+            trajectory = 'jitter' if self.nchains >= 1024 else 'nuts'
+        if trajectory not in ('nuts', 'jitter'):
+            raise ValueError("trajectory must be 'nuts' or 'jitter'")
+        self.trajectory = trajectory
         self._set_transform()
 
     # --- bounded-parameter transform ---
@@ -259,6 +270,70 @@ class NUTSSampler(BasePosteriorSampler):
     def _make_kernel(self, lg):
         return build_nuts_kernel(lg, self.ndim, max_depth=self.max_depth)
 
+    def _jitter_sample(self, lg, u, lp, grad, eps, inv_mass, L_ref, nsteps):
+        """Dense fixed-budget sampling phase for trajectory='jitter': every
+        chain takes the SAME halton-jittered number of leapfrog steps per
+        iteration (mean = the warmup-measured NUTS path length), so the
+        vmapped batch never waits for a deepest tree. Returns time-major
+        records like lax.scan."""
+        ndim, nchains = self.ndim, self.nchains
+        max_steps = int(np.clip(4 * L_ref, 4, 2 ** self.max_depth))
+
+        def halton(i, base=2):
+            f, r, ii = 1., 0., i
+            for _ in range(20):
+                f = f / base
+                r = r + f * (ii % base)
+                ii = ii // base
+            return max(r, 1e-3)
+
+        hs = jnp.asarray(np.array([halton(i + 1) for i in range(nsteps)]))
+        keys = jax.random.split(self._next_key(), nsteps)
+        eps_b = jnp.broadcast_to(eps, (nchains,))
+        inv_b = jnp.broadcast_to(inv_mass, (nchains, ndim))
+
+        def leapfrog_chain(u, grad, r, eps_c, nsteps_t, inv_mass_c):
+            def body(s):
+                u, grad, r, i = s
+                r_half = r + 0.5 * eps_c * grad
+                u_new = u + eps_c * inv_mass_c * r_half
+                _, grad_new = lg(u_new)
+                return (u_new, grad_new, r_half + 0.5 * eps_c * grad_new, i + 1)
+
+            u, grad, r, _ = lax.while_loop(lambda s: s[3] < nsteps_t, body,
+                                           (u, grad, r, jnp.zeros((), jnp.int32)))
+            lp, grad = lg(u)
+            return u, lp, grad, r
+
+        @jax.jit
+        def run_all(u, lp, grad, keys, hs):
+            def body(carry, inp):
+                u, lp, grad = carry
+                key, h = inp
+                nsteps_t = jnp.clip(jnp.ceil(2. * L_ref * h), 1, max_steps).astype(jnp.int32)
+                kr, ka = jax.random.split(key)
+                r0 = jax.random.normal(kr, (nchains, ndim)) / jnp.sqrt(inv_b)
+                u1, lp1, grad1, r1 = jax.vmap(
+                    lambda uu, gg, rr, ee, mm: leapfrog_chain(uu, gg, rr, ee, nsteps_t, mm))(
+                        u, grad, r0, eps_b, inv_b)
+                e0 = -lp + 0.5 * jnp.sum(inv_b * r0 ** 2, axis=1)
+                e1 = -lp1 + 0.5 * jnp.sum(inv_b * r1 ** 2, axis=1)
+                delta = e0 - e1
+                delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+                accept = jnp.log(jax.random.uniform(ka, (nchains,))) < delta
+                u_n = jnp.where(accept[:, None], u1, u)
+                lp_n = jnp.where(accept, lp1, lp)
+                grad_n = jnp.where(accept[:, None], grad1, grad)
+                x, _ = jax.vmap(self._constrain)(u_n)
+                lp_x, aux = jax.vmap(self.logpost_flat)(x)
+                record = {'x': x, 'logposterior': lp_x,
+                          'divergence': delta < -1000., **aux}
+                return (u_n, lp_n, grad_n), record
+
+            return lax.scan(body, (u, lp, grad), (keys, hs))
+
+        return run_all(u, lp, grad, keys, hs)
+
     def run(self, nsteps=1000, nwarmup=None, thin=1, resume=False):
         if nwarmup is None:
             nwarmup = max(200, nsteps // 2)
@@ -296,7 +371,7 @@ class NUTSSampler(BasePosteriorSampler):
                 welford0 = dict(mean=jnp.zeros(ndim), m2=jnp.zeros(ndim), count=jnp.zeros(()))
 
                 def body(carry, inp):
-                    u, lp, grad, da, welford = carry
+                    u, lp, grad, da, welford, nl_sum = carry
                     i, key = inp
                     eps = jnp.exp(da['log_eps'])
                     u, lp, grad, stats = kernel(key, u, lp, grad, eps, inv_mass)
@@ -311,25 +386,28 @@ class NUTSSampler(BasePosteriorSampler):
                     delta = u - welford['mean']
                     mean = welford['mean'] + jnp.where(in_window, delta / jnp.maximum(cnt, 1.), 0.)
                     m2 = welford['m2'] + jnp.where(in_window, delta * (u - mean), 0.)
-                    return (u, lp, grad, da_new, dict(mean=mean, m2=m2, count=cnt)), None
+                    nl_sum = nl_sum + stats['n_leaves']
+                    return (u, lp, grad, da_new, dict(mean=mean, m2=m2, count=cnt), nl_sum), None
 
                 keys = jax.random.split(key, n)
                 idx = jnp.arange(n, dtype=jnp.float32)
-                (u, lp, grad, da, welford), _ = lax.scan(body, (u, lp, grad, da0, welford0), (idx, keys))
+                (u, lp, grad, da, welford, nl_sum), _ = lax.scan(
+                    body, (u, lp, grad, da0, welford0, jnp.zeros(())), (idx, keys))
                 eps = jnp.exp(da['log_eps_bar'])
                 var = welford['m2'] / jnp.maximum(welford['count'] - 1., 1.)
-                return u, lp, grad, eps, var, welford['count']
+                return u, lp, grad, eps, var, welford['count'], nl_sum / n
 
             k1, k2 = jax.random.split(key)
             nw1 = nwarmup // 2
             nw2 = nwarmup - nw1
             # phase 1: adapt eps under the (shared, precomputed) curvature
             # mass guess, collect variance
-            u, lp, grad, eps1, var, cnt = da_scan(u, lp, grad, mass0, 0.1, nw1, k1, nw1 // 3)
+            u, lp, grad, eps1, var, cnt, _ = da_scan(u, lp, grad, mass0, 0.1, nw1, k1, nw1 // 3)
             inv_mass = jnp.where(cnt > 10, jnp.maximum(var, 1e-10), mass0)
-            # phase 2: re-adapt eps under the learned mass
-            u, lp, grad, eps, _, _ = da_scan(u, lp, grad, inv_mass, eps1, nw2, k2, nw2 + 1)
-            return u, lp, grad, eps, inv_mass
+            # phase 2: re-adapt eps under the learned mass; the mean tree
+            # leapfrog count here sets trajectory='jitter' path lengths
+            u, lp, grad, eps, _, _, nleap = da_scan(u, lp, grad, inv_mass, eps1, nw2, k2, nw2 + 1)
+            return u, lp, grad, eps, inv_mass, nleap
 
         def sample_chain(u, lp, grad, eps, inv_mass, key):
             def body(carry, key):
@@ -349,11 +427,12 @@ class NUTSSampler(BasePosteriorSampler):
         kw, ks = k_all[:self.nchains], k_all[self.nchains:]
 
         if resume:
-            u, lp, grad, eps, inv_mass = self._state
+            u, lp, grad, eps, inv_mass = self._state[:5]
+            nleap = self._state[5] if len(self._state) > 5 else jnp.full((self.nchains,), 8.)
         else:
             u0, kw = self._shard_chains(u0, kw)
             warm = jax.jit(jax.vmap(warmup_chain))
-            u, lp, grad, eps, inv_mass = warm(u0, kw)
+            u, lp, grad, eps, inv_mass, nleap = warm(u0, kw)
             jax.block_until_ready(eps)
             if self.pool_adaptation:
                 # cross-chain pooling: with many chains the per-chain dual
@@ -365,10 +444,28 @@ class NUTSSampler(BasePosteriorSampler):
                 inv_mass = jnp.broadcast_to(jnp.mean(inv_mass, axis=0), inv_mass.shape)
         self.diagnostics['step_size'] = np.asarray(eps)
 
+        if self.trajectory == 'jitter':
+            L_ref = float(np.median(np.asarray(nleap)))
+            self.diagnostics['jitter_path_length'] = L_ref
+            u, lp, grad, eps, inv_mass = self._shard_chains(u, lp, grad, eps, inv_mass)
+            (u_f, lp_f, grad_f), records = self._jitter_sample(
+                lg, u, lp, grad, eps, inv_mass, L_ref, nsteps)
+            self._state = (u_f, lp_f, grad_f, eps, inv_mass, nleap)
+            jax.block_until_ready(records['logposterior'])
+            if self.mesh is not None:
+                self._mesh_gelman_rubin(records['x'])
+            div = records.pop('divergence')
+            self.diagnostics['divergence_rate'] = float(jnp.mean(div))
+            x = records.pop('x')
+            sl = slice(None, None, thin)
+            return self._make_chain(x[sl], {k: v[sl] for k, v in records.items()},
+                                    attrs={'sampler': 'nuts-jitter',
+                                           'path_length_leapfrogs': L_ref})
+
         u, lp, grad, eps, inv_mass, ks = self._shard_chains(u, lp, grad, eps, inv_mass, ks)
         sample = jax.jit(jax.vmap(sample_chain))
         (u_f, lp_f, grad_f), records = sample(u, lp, grad, eps, inv_mass, ks)
-        self._state = (u_f, lp_f, grad_f, eps, inv_mass)
+        self._state = (u_f, lp_f, grad_f, eps, inv_mass, nleap)
         records = jax.tree.map(lambda v: jnp.moveaxis(v, 0, 1), records)
         jax.block_until_ready(records['logposterior'])
         if self.mesh is not None:

@@ -203,3 +203,26 @@ def test_chees_manychain_mixing():
     more = sampler.run(nsteps=50, resume=True)
     assert more['a'].shape[0] == 50
     assert np.isfinite(np.asarray(more['logposterior'])).all()
+
+
+def test_nuts_jitter_trajectory_mixing():
+    """trajectory='jitter': NUTS warmup + dense fixed-budget jittered-HMC
+    sampling (the many-chain lockstep-tax fix). Posterior moments and GR
+    match the tree-based sampler's quality."""
+    from desilike_tpu.samplers import NUTSSampler
+    like = GaussianModel()
+    sampler = NUTSSampler(like, seed=29, nchains=256, trajectory='jitter')
+    assert sampler.trajectory == 'jitter'
+    chain = sampler.run(nsteps=200, nwarmup=200).remove_burnin(0.3)
+    assert sampler.diagnostics['jitter_path_length'] >= 1.
+    assert chain.attrs['sampler'] == 'nuts-jitter'
+    cov = analytic_cov()
+    for i, name in enumerate(('a', 'b')):
+        assert chain.mean(name) == pytest.approx(GaussianModel._mean[i], abs=3 * np.sqrt(cov[i, i]) / 30)
+        assert chain.std(name) == pytest.approx(np.sqrt(cov[i, i]), rel=0.1)
+    gr = chain.gelman_rubin(('a', 'b'))
+    assert np.all(gr < 1.05), gr
+    assert sampler.diagnostics['divergence_rate'] < 0.01
+    # default selection: many chains -> jitter, few -> tree NUTS
+    assert NUTSSampler(like, nchains=2048).trajectory == 'jitter'
+    assert NUTSSampler(like, nchains=8).trajectory == 'nuts'
