@@ -138,6 +138,86 @@ class Pipeline(BaseClass):
                     [p.name for p in pending]))
         return full
 
+    def param_footprint(self, calc):
+        """Input parameter names influencing ``calc`` directly or through its
+        transitive dependencies — the reference's footprint notion
+        (base.py:737 block_params)."""
+        try:
+            memo = self._footprint_memo
+        except AttributeError:
+            memo = self._footprint_memo = {}
+
+        def walk(c):
+            if id(c) not in memo:
+                names = {p.name for p in c.runtime_info.params
+                         if p.derived is not True and not p.drop}
+                for req in c.runtime_info.requires:
+                    names |= walk(req)
+                memo[id(c)] = names
+            return memo[id(c)]
+
+        return walk(calc)
+
+    def host_calculators(self):
+        """Calculators flagged ``_host_eval`` (non-traceable host codes, e.g.
+        DESY3Theory): run_once memoizes them on their parameter footprint, so
+        nuisance-only moves never re-run the slow host code."""
+        return [c for c in self.calculators if getattr(c, '_host_eval', False)]
+
+    def block_params(self, oversample_power=0.4):
+        """Split varied params into (fast, slow) blocks by whether their
+        footprint touches a host-eval calculator, with a Cobaya-style
+        oversampling factor for the fast block (reference base.py:737-857 /
+        mcmc.py:408-424; under whole-graph jit only host nodes make
+        blocking meaningful, SURVEY §2.11)."""
+        hosts = self.host_calculators()
+        slow_names = set()
+        for host in hosts:
+            slow_names |= self.param_footprint(host)
+        fast, slow = [], []
+        for p in self.varied_params:
+            (slow if p.name in slow_names else fast).append(p.name)
+        if not hosts or not fast or not slow:
+            return [(self.varied_params.names(), 1)]
+        # oversample fast moves by the measured speed ratio^power; the host
+        # call dominates the slow block, so use a conservative proxy when
+        # timings are unavailable (host calls are >= 10x a fused eval)
+        factor = max(2, int(round(10 ** oversample_power * 2)))
+        return [(slow, 1), (fast, factor)]
+
+    _HOST_CACHE_SIZE = 4
+
+    def _host_inputs(self, calc, full_values):
+        """Concrete footprint inputs of a host node, or None if any is a
+        tracer (then memoization is impossible and calculate must run)."""
+        vals = []
+        for n in sorted(self.param_footprint(calc)):
+            v = full_values.get(n)
+            if isinstance(v, jax.core.Tracer):
+                return None
+            vals.append(np.asarray(v))
+        return vals
+
+    def _host_lookup(self, calc, inputs):
+        """Restore a cached output state for these inputs; True on hit. A
+        small LRU (not just last-call memo) keeps Metropolis accept/reject
+        ping-pong from re-running the host code."""
+        cache = calc.__dict__.setdefault('_host_cache', [])
+        for i, (key, state) in enumerate(cache):
+            if len(key) == len(inputs) and all(np.array_equal(a, b) for a, b in zip(key, inputs)):
+                for attr, value in state.items():
+                    setattr(calc, attr, value)
+                cache.insert(0, cache.pop(i))
+                return True
+        return False
+
+    def _host_store(self, calc, inputs):
+        state = {attr: getattr(calc, attr) for attr in getattr(calc, '_state_attrs', ())
+                 if hasattr(calc, attr)}
+        cache = calc.__dict__.setdefault('_host_cache', [])
+        cache.insert(0, (inputs, state))
+        del cache[self._HOST_CACHE_SIZE:]
+
     def run_once(self, full_values):
         """Pure per-evaluation walk. ``full_values``: every input param value.
 
@@ -157,6 +237,14 @@ class Pipeline(BaseClass):
                     if p.derived is True or p.drop:
                         continue
                     cvals[p.basename] = full_values[p.name]
+                if getattr(calc, '_host_eval', False):
+                    inputs = self._host_inputs(calc, full_values)
+                    if inputs is not None:
+                        if self._host_lookup(calc, inputs):
+                            continue
+                        calc.calculate(**cvals)
+                        self._host_store(calc, inputs)
+                        continue
                 calc.calculate(**cvals)
             derived = {}
             for calc in self.calculators:

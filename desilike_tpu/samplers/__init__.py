@@ -1,6 +1,6 @@
 from .base import BasePosteriorSampler
 from .ensemble import EnsembleSampler, EnsembleSliceSampler
-from .mcmc import MCMCSampler
+from .mcmc import MCMCSampler, BlockedMCMCSampler
 from .nuts import NUTSSampler
 from .deterministic import GridSampler, QMCSampler, ImportanceSampler
 from .hmc import HMCSampler, MCLMCSampler

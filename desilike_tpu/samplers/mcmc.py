@@ -3,10 +3,16 @@
 In-framework counterpart of the reference's in-repo MCMCSampler
 (samplers/mcmc.py:331, CosmoMC-style). Under whole-pipeline jit the
 fast/slow parameter blocking that motivates the reference design is
-obsolete (SURVEY.md §2.11); what remains essential is an adapted Gaussian
-proposal, implemented here with on-device Robbins-Monro scale adaptation
-targeting 23.4% acceptance.
-"""
+obsolete for traceable graphs (SURVEY.md §2.11); what remains essential is
+an adapted Gaussian proposal, implemented here with on-device Robbins-Monro
+scale adaptation targeting 23.4% acceptance.
+
+Blocking comes back the moment the graph contains a non-traceable host
+code (DESY3Theory-class nodes, ``_host_eval``): ``BlockedMCMCSampler``
+runs eagerly, cycles per-block Metropolis updates (slow block once, fast
+block oversampled), and Pipeline.run_once's footprint memoization skips
+the host call on fast-block moves (reference base.py:737-857 +
+mcmc.py:408-424)."""
 
 import numpy as np
 import jax
@@ -98,3 +104,99 @@ class MCMCSampler(BasePosteriorSampler):
         sl = slice(burnin, None, thin)
         return self._make_chain(x[sl], {k: v[sl] for k, v in records.items()},
                                 attrs={'sampler': 'mcmc', 'acceptance_rate': self.diagnostics['acceptance_rate']})
+
+
+class BlockedMCMCSampler(BasePosteriorSampler):
+    """Eager blocked Metropolis for pipelines containing host-code nodes.
+
+    Parameters are grouped by Pipeline.block_params (footprint-based: the
+    slow block touches a ``_host_eval`` calculator, the fast block does
+    not) and updated block-by-block with the fast block oversampled;
+    run_once's host memoization then skips the host code on fast moves.
+    Per-param Robbins-Monro scale adaptation targets 23.4% acceptance.
+    """
+
+    def __init__(self, likelihood, nchains=1, oversample_power=0.4, adapt=True, **kwargs):
+        super().__init__(likelihood, **kwargs)
+        self.nchains = int(nchains)
+        self.oversample_power = float(oversample_power)
+        self.adapt = bool(adapt)
+        self.blocks = self.pipeline.block_params(oversample_power=self.oversample_power)
+        names = self.varied_params.names()
+        self._block_idx = [(np.array([names.index(n) for n in block]), repeat)
+                           for block, repeat in self.blocks]
+
+    @property
+    def _logpost_aux(self):
+        # host nodes cannot be traced: evaluate the pipeline eagerly
+        if self._logpost_aux_fn is None:
+            self._logpost_aux_fn = self.likelihood.logpost_fn(jit=False)
+        return self._logpost_aux_fn
+
+    def get_start(self, nchains):
+        """Eager rejection sampling (the base implementation jits the batch
+        posterior, which a host-code pipeline cannot trace)."""
+        start = np.empty((nchains, self.ndim))
+        logpost = np.full(nchains, -np.inf)
+        for ichain in range(nchains):
+            for _ in range(self.max_tries):
+                draws = np.array([float(np.asarray(p.sample_ref(self._next_key())))
+                                  for p in self.varied_params])
+                lp, _ = self.logpost_flat(jnp.asarray(draws))
+                if np.isfinite(float(lp)):
+                    start[ichain], logpost[ichain] = draws, float(lp)
+                    break
+            else:
+                raise ValueError('no finite start point in {} tries'.format(self.max_tries))
+        return start, logpost
+
+    def _eager_logpost(self, x):
+        lp, aux = self.logpost_flat(jnp.asarray(x))
+        return float(lp), aux
+
+    def run(self, nsteps=500, thin=1, burnin=0, resume=False):
+        from ..config import host_eval
+        rng = np.random.default_rng(
+            int(jax.random.randint(self._next_key(), (), 0, 2 ** 31 - 1)))
+        names = self.varied_params.names()
+        scales = np.array([p.proposal if p.proposal else
+                           (p.prior.std if p.prior is not None and np.isfinite(p.prior.std) else 1.)
+                           for p in self.varied_params])
+        with host_eval():
+            if resume and getattr(self, '_state', None) is not None:
+                xs, lps, logscale = self._state
+            else:
+                start, lp0 = self.get_start(self.nchains)
+                xs = np.asarray(start, dtype='f8')
+                lps = np.asarray(lp0, dtype='f8')
+                logscale = np.zeros(len(names))
+            records_x = np.empty((nsteps, self.nchains, len(names)))
+            records_lp = np.empty((nsteps, self.nchains))
+            naccept = nmoves = 0
+            for it in range(nsteps):
+                for ichain in range(self.nchains):
+                    x, lp = xs[ichain].copy(), lps[ichain]
+                    for idx, repeat in self._block_idx:
+                        for _ in range(repeat):
+                            prop = x.copy()
+                            prop[idx] = prop[idx] + np.exp(logscale[idx]) * scales[idx] \
+                                * rng.standard_normal(idx.size) * 2.38 / np.sqrt(idx.size)
+                            lp_y, _ = self._eager_logpost(prop)
+                            accept = np.log(rng.uniform()) < (lp_y - lp)
+                            if accept:
+                                x, lp = prop, lp_y
+                            nmoves += 1
+                            naccept += int(accept)
+                            if self.adapt and it < nsteps // 2:
+                                gamma = 1. / np.sqrt(1. + it)
+                                logscale[idx] += gamma * ((1. if accept else 0.) - 0.234)
+                    xs[ichain], lps[ichain] = x, lp
+                records_x[it] = xs
+                records_lp[it] = lps
+        self._state = (xs, lps, logscale)
+        self.diagnostics['acceptance_rate'] = naccept / max(nmoves, 1)
+        sl = slice(burnin, None, thin)
+        return self._make_chain(records_x[sl], {'logposterior': records_lp[sl]},
+                                attrs={'sampler': 'blocked-mcmc',
+                                       'blocks': [list(b) for b, _ in self.blocks],
+                                       'acceptance_rate': self.diagnostics['acceptance_rate']})

@@ -219,3 +219,117 @@ def plot_covariance_matrix(covariance, names=None, corrcoef=True, fn=None, show=
     if show:
         plt.show()
     return fig
+
+
+def plot_contour(profiles, pair, labels=None, colors=None, truths=None,
+                 fn=None, show=False):
+    """2D confidence contours from one or several Profiles containers
+    (reference samples/plotting.py contour plots).
+
+    Reads the canonical contour form ({'paths': {cl: (x, y)}, 'grid':
+    (g1, g2, chi2)}) through ``Profiles.contour_paths``; when only the grid
+    is stored, contours are drawn at the 2D Delta-chi2 levels (2.30, 6.18).
+    """
+    from matplotlib import pyplot as plt
+    if not isinstance(profiles, (list, tuple)):
+        profiles = [profiles]
+    pair = tuple(getattr(p, 'name', p) for p in pair)
+    if colors is None:
+        colors = ['C{:d}'.format(i) for i in range(len(profiles))]
+    fig, ax = plt.subplots(figsize=(4.2, 4))
+    for iprof, (prof, color) in enumerate(zip(profiles, colors)):
+        label = labels[iprof] if labels else None
+        paths = prof.contour_paths(pair) if pair in prof.contour else {}
+        if paths:
+            for icl, (cl, (x, y)) in enumerate(sorted(paths.items())):
+                ax.plot(np.asarray(x), np.asarray(y), color=color,
+                        lw=1.5 - 0.5 * icl, label=label if icl == 0 else None)
+        else:
+            entry = prof.contour.get(pair, {})
+            grid = entry.get('grid') if isinstance(entry, dict) else None
+            if grid is None:
+                raise ValueError('no contour stored for pair {}'.format(pair))
+            g1, g2, chi2 = (np.asarray(g) for g in grid)
+            ax.contour(g1, g2, (chi2 - chi2.min()).T, levels=[2.30, 6.18],
+                       colors=color)
+            if label:
+                ax.plot([], [], color=color, label=label)
+        if prof.bestfit.names():
+            best = prof.choice()
+            if pair[0] in best and pair[1] in best:
+                ax.plot(best[pair[0]], best[pair[1]], marker='+', color=color)
+    if truths:
+        if pair[0] in truths:
+            ax.axvline(truths[pair[0]], color='k', linestyle=':', lw=1)
+        if pair[1] in truths:
+            ax.axhline(truths[pair[1]], color='k', linestyle=':', lw=1)
+    ax.set_xlabel(pair[0])
+    ax.set_ylabel(pair[1])
+    if labels:
+        ax.legend()
+    if fn:
+        fig.savefig(fn, bbox_inches='tight', dpi=120)
+    if show:
+        plt.show()
+    return fig
+
+
+def _mean_std_of(source, name):
+    """(mean, std) of a parameter from a Chain / Profiles / LikelihoodFisher."""
+    from .chain import Chain
+    from .profiles import Profiles
+    if isinstance(source, Chain):
+        return float(source.mean(name)), float(source.std(name))
+    if isinstance(source, Profiles):
+        best = source.choice()
+        err = source.error.get(name)
+        if err is None and source.interval.get(name) is not None:
+            lo, hi = source.interval[name]
+            err = 0.5 * (hi - lo)
+        return float(best[name]), float(err) if err is not None else np.nan
+    # LikelihoodFisher-like: mean()/std() by name
+    return float(source.mean(name)), float(source.std(name))
+
+
+def plot_comparison(sources, params=None, labels=None, colors=None, truths=None,
+                    fn=None, show=False):
+    """Aligned per-parameter comparison across analyses (the reference's
+    stacked comparison plots, samples/plotting.py): one panel per parameter,
+    each source drawn as a mean +/- 1 sigma whisker on its own row.
+
+    sources : list of Chain / Profiles / LikelihoodFisher
+    """
+    from matplotlib import pyplot as plt
+    if not isinstance(sources, (list, tuple)):
+        sources = [sources]
+    if params is None:
+        from .chain import Chain
+        first = sources[0]
+        params = ([p.name for p in first.params if p.name not in first._reserved]
+                  if isinstance(first, Chain) else
+                  [n for n in first.bestfit.names() if n != 'logposterior'])
+    params = [getattr(p, 'name', p) for p in params]
+    if labels is None:
+        labels = ['#{:d}'.format(i) for i in range(len(sources))]
+    if colors is None:
+        colors = ['C{:d}'.format(i) for i in range(len(sources))]
+    n = len(params)
+    fig, axes = plt.subplots(1, n, figsize=(2.6 * n, 0.5 + 0.45 * len(sources)),
+                             squeeze=False, sharey=True)
+    ypos = np.arange(len(sources))[::-1]
+    for ax, name in zip(axes[0], params):
+        for y, source, color in zip(ypos, sources, colors):
+            mean, std = _mean_std_of(source, name)
+            ax.errorbar(mean, y, xerr=std if np.isfinite(std) else None,
+                        marker='o', color=color, capsize=3)
+        if truths and name in truths:
+            ax.axvline(truths[name], color='k', linestyle=':', lw=1)
+        ax.set_xlabel(name)
+        ax.set_yticks(ypos)
+    axes[0][0].set_yticklabels(labels)
+    axes[0][0].set_ylim(-0.5, len(sources) - 0.5)
+    if fn:
+        fig.savefig(fn, bbox_inches='tight', dpi=120)
+    if show:
+        plt.show()
+    return fig

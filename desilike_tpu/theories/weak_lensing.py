@@ -71,6 +71,9 @@ class DESY3Theory(Calculator):
     """
 
     _state_attrs = ['theory_vector']
+    # non-traceable host code: run_once memoizes it on its parameter
+    # footprint (Pipeline.host_calculators) so nuisance-only moves skip it
+    _host_eval = True
 
     def initialize(self, cosmo=None, ini_file_dir=None, ini_file_name=None,
                    cosmosis_dir=None, param_map=None):
