@@ -216,16 +216,30 @@ class MinuitProfiler(ScipyProfiler):
     """Reference profilers/minuit.py:16 (iminuit/Minuit2 migrad+minos) ->
     the in-framework profiler: L-BFGS-B maximization with autodiff
     gradients, parabolic covariance (hesse analog) and Delta-chi2
-    root-finding intervals/contours (minos analog)."""
+    root-finding intervals/contours (minos analog).
+
+    Robustness caveat: migrad combines a variable-metric search with
+    heuristic recovery steps that handle mildly non-smooth or noisy
+    posteriors; a pure quasi-Newton solve does not. This alias therefore
+    runs with ``fallback='nelder-mead'`` by default: any start whose
+    gradient-based solve fails (or returns a non-finite posterior) is
+    re-polished derivative-free. For genuinely non-smooth objectives prefer
+    ``ScipyProfiler(method='powell')`` or more ``maximize(niterations=...)``
+    multi-starts."""
 
     def __init__(self, likelihood, **kwargs):
         kwargs.setdefault('method', 'l-bfgs-b')
+        kwargs.setdefault('fallback', 'nelder-mead')
         super().__init__(likelihood, **kwargs)
 
 
 class BOBYQAProfiler(ScipyProfiler):
     """Reference profilers/bobyqa.py:10 (Py-BOBYQA derivative-free) ->
-    derivative-free profiling via Powell's method (no gradients used)."""
+    derivative-free profiling via Powell's method (no gradients used).
+
+    Caveat: Powell is a line-search method, not BOBYQA's model-based trust
+    region; on noisy objectives it can terminate early — raise
+    ``maximize(niterations=...)`` to compensate."""
 
     def __init__(self, likelihood, **kwargs):
         kwargs.setdefault('method', 'powell')

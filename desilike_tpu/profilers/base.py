@@ -223,12 +223,21 @@ class ScipyProfiler(BaseProfiler):
     (profilers/minuit.py:9, bobyqa.py:8) for posteriors whose gradients are
     unreliable (e.g. emulated or externally-wrapped theories)."""
 
-    def __init__(self, likelihood, method='l-bfgs-b', **kwargs):
+    def __init__(self, likelihood, method='l-bfgs-b', fallback=None, **kwargs):
         super().__init__(likelihood, **kwargs)
         self.method = str(method).lower().replace('_', '-')
+        self.fallback = str(fallback).lower().replace('_', '-') if fallback else None
 
     def _minimize_one(self, start):
-        if self.method in ('l-bfgs-b', 'lbfgsb'):
+        x, lp = self._minimize_with(self.method, start)
+        if self.fallback and self.fallback != self.method and not np.isfinite(lp):
+            # migrad-style recovery: re-polish the start derivative-free when
+            # the gradient-based solve fails (non-smooth/noisy posteriors)
+            x, lp = self._minimize_with(self.fallback, start)
+        return x, lp
+
+    def _minimize_with(self, method, start):
+        if method in ('l-bfgs-b', 'lbfgsb'):
             x, fun = self._minimize_fn(self.chi2, start, self._bounds())
             return x, -0.5 * fun
         from scipy import optimize
@@ -239,10 +248,10 @@ class ScipyProfiler(BaseProfiler):
             val = float(chi2(jnp.asarray(x)))
             return val if np.isfinite(val) else 1e30
 
-        res = optimize.minimize(f, np.asarray(start), method=self.method,
+        res = optimize.minimize(f, np.asarray(start), method=method,
                                 bounds=self._bounds(),
                                 options={'maxiter': 5000, 'xatol': 1e-8, 'fatol': 1e-10}
-                                if self.method == 'nelder-mead' else None)
+                                if method == 'nelder-mead' else None)
         return np.asarray(res.x), -0.5 * float(res.fun)
 
 

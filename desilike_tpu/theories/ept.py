@@ -64,8 +64,12 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         self.template.init.update(k=np.geomspace(lo, hi, nk_tmpl))
         self.set_k_mu(k=self.k, mu=mu, method=method, ells=self.ells)
         self.nd = 1. / float(shotnoise)
-        # loop working grid: covers AP-shifted output range
-        klo, khi = self.k[0] * 0.6, self.k[-1] * 1.7
+        # loop working grid: covers the AP-shifted output range, clamped to
+        # the template limits (the xi path hands in a kin grid reaching the
+        # template's low-k edge, where the 0.6x margin would undershoot it)
+        lo_t, hi_t = self.template.init['k'][0], self.template.init['k'][-1]
+        klo = max(self.k[0] * 0.6, lo_t * (1. + 1e-6))
+        khi = min(self.k[-1] * 1.7, hi_t * (1. - 1e-6))
         self.k_work = np.geomspace(klo, khi, int(nk_loop))
         if str(loop_method) == 'fftlog':
             # FFTLog-matrix loops (ops/spt_fftlog.py): per-eval cost is one

@@ -224,3 +224,36 @@ def test_theta_solve_far_from_fiducial_guarded():
     # never a wrong finite h
     pipe.evaluate({'theta_MC_100': 3.0})
     assert np.isnan(float(cosmo.h))
+
+
+def test_eh99_external_literature_anchor():
+    """Anchor the EH99 engine to PUBLISHED asymptotic results rather than its
+    own goldens (VERDICT round-2 weak #5): for small neutrino fraction f_nu,
+    linear theory gives a small-scale power suppression Delta P / P ~ -8 f_nu
+    (Hu, Eisenstein & Tegmark 1998, astro-ph/9712057) and a growth-rate
+    suppression f(k >> k_fs) / f ~ 1 - 3/5 f_nu (from the p_cb exponent of
+    astro-ph/9710252 eq. 11)."""
+    from desilike_tpu.cosmology import background as bgmod
+
+    p = bg.resolve({'m_ncdm': 0.2})
+    omega_nu = bgmod.omega_ncdm(p)
+    f_nu = omega_nu / bgmod.omega_m(p)
+    assert 0.005 < f_nu < 0.05  # small-f_nu regime where -8 f_nu holds
+
+    k = jnp.asarray([5.0, 8.0])  # far above the free-streaming scale
+    ratio = np.asarray(eh.neutrino_ratio(p, k, 0.))
+    suppression = 1. - ratio
+    expected = 8. * f_nu
+    # the fitting formula tracks the asymptote to a few tens of percent
+    assert np.all(suppression > 0.6 * expected), (suppression, expected)
+    assert np.all(suppression < 1.4 * expected), (suppression, expected)
+
+    fk_ratio = np.asarray(eh.growth_rate_ratio(p, k, 0.))
+    expected_f = 0.6 * f_nu
+    f_supp = 1. - fk_ratio
+    assert np.all(f_supp > 0.4 * expected_f), (f_supp, expected_f)
+    assert np.all(f_supp < 1.6 * expected_f), (f_supp, expected_f)
+    # massless limit: both ratios must collapse to unity
+    p0 = bg.resolve({'m_ncdm': 1e-6})
+    np.testing.assert_allclose(np.asarray(eh.neutrino_ratio(p0, k, 0.)), 1., atol=2e-3)
+    np.testing.assert_allclose(np.asarray(eh.growth_rate_ratio(p0, k, 0.)), 1., atol=2e-3)

@@ -58,12 +58,25 @@ def build(name):
             ells=(0, 2), s=np.linspace(40., 140., 26), template=BAOPowerSpectrumTemplate(z=0.8)), 'corr'
     if name == 'bispectrum':
         return TreeLevelBispectrumMultipoles(template=ShapeFitPowerSpectrumTemplate(z=0.8)), 'bispectrum'
+    if name == 'efttns_fftlog':
+        from desilike_tpu.theories import EFTLikeTNSTracerPowerSpectrumMultipoles
+        return EFTLikeTNSTracerPowerSpectrumMultipoles(
+            ells=(0, 2), k=K, template=ShapeFitPowerSpectrumTemplate(z=0.8),
+            loop_method='fftlog'), 'power'
+    if name == 'ept_xi':
+        from desilike_tpu.theories import EPTTracerCorrelationFunctionMultipoles
+        return EPTTracerCorrelationFunctionMultipoles(
+            ells=(0, 2), s=np.linspace(40., 140., 26),
+            template=ShapeFitPowerSpectrumTemplate(z=0.8)), 'corr'
+    if name == 'eh99_pk':
+        from desilike_tpu.theories import DirectPowerSpectrumTemplate
+        return DirectPowerSpectrumTemplate(z=0.8, k=K, engine='eh99'), 'pk_dd'
     raise KeyError(name)
 
 
 FAST = ['damped_bao', 'simple_bao', 'resummed_bao', 'flexible_bao', 'kaiser',
-        'eft_kaiser', 'png', 'damped_bao_xi', 'bispectrum']
-SLOW = ['ept', 'tns']
+        'eft_kaiser', 'png', 'damped_bao_xi', 'bispectrum', 'eh99_pk']
+SLOW = ['ept', 'tns', 'efttns_fftlog', 'ept_xi']
 
 
 @pytest.mark.parametrize('name', FAST)
