@@ -117,6 +117,9 @@ class RuntimeInfo(object):
         self.params = params
         calc.params = params  # let initialize() inspect/modify
         self.requires = None  # re-discover on each (re-)initialization
+        # host-node output memo (Pipeline._host_lookup) is keyed on param
+        # values only; a re-initialization can change shapes/config
+        calc.__dict__.pop('_host_cache', None)
         calc.initialize(**{k: v for k, v in calc.init.items()})
         self.params = calc.params
         # implicit dependency discovery: Calculator instances set during
