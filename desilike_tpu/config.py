@@ -14,6 +14,16 @@ import numpy as np
 
 _DTYPE = jnp.float32
 
+# Matmul precision: the TPU default lowers f32 matmuls to single-pass bf16,
+# which injects O(0.1) noise into the log-posterior and silently collapses
+# gradient-sampler step-size adaptation (measured on the flagship config:
+# ChEES dual averaging drove eps -> 0, GR ~ 3000). The 'high' tier (multi-
+# pass bf16, ~f32-equivalent) removes it at ~4% throughput cost vs ~24% for
+# 'highest' (865.7k vs 902.7k vs 684.5k evals/s on-chip). Override with
+# DESILIKE_TPU_MATMUL_PRECISION=default|high|highest.
+jax.config.update('jax_default_matmul_precision',
+                  os.environ.get('DESILIKE_TPU_MATMUL_PRECISION', 'high'))
+
 
 def set_dtype(dtype):
     """Set the global compute dtype ('float32' or 'float64').
