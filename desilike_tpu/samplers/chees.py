@@ -262,6 +262,8 @@ class ChEESSampler(NUTSSampler):
         u_rec = records['u'][::thin]
         x_rec = jax.vmap(jax.vmap(lambda uu: self._constrain(uu)[0]))(u_rec)
         lp_rec = records['logposterior'][::thin]
+        if self.mesh is not None:
+            self._mesh_gelman_rubin(x_rec)
         return self._make_chain(np.asarray(x_rec), {'logposterior': np.asarray(lp_rec)},
                                 attrs={'sampler': 'chees',
                                        'step_size': self.diagnostics['step_size'],

@@ -528,3 +528,21 @@ def test_camspec_tt_only_subselects_covariance():
     vals = {n: jnp.asarray(like.pipeline.params[n].value) for n in names}
     lp, _ = fn(vals)
     assert np.isfinite(float(lp))
+
+
+def test_hillipop_on_emulated_cl_engine():
+    """The emulated-Cl engine drops into the rest of the CMB family: the
+    hillipop foreground machinery consumes ClTheory(emulator=...) Cls and
+    the likelihood responds to the cosmological parameters."""
+    names, weights, lmax = _train_cl_emulator_fixture()
+    data, _ = hillipop_fixture(modes=('TT',))
+    from desilike_tpu.likelihoods.cmb import TTHighlPlanck2020HillipopLikelihood
+    like = TTHighlPlanck2020HillipopLikelihood(theory=ClTheory(emulator=weights), data=data)
+    fn = like.logpost_fn()
+    varied = like.pipeline.varied_params.names()
+    vals = {n: jnp.asarray(like.pipeline.params[n].value) for n in varied}
+    lp0, _ = fn(dict(vals))
+    lp1, _ = fn(dict(vals, amp=jnp.asarray(1.1)))
+    assert np.isfinite(float(lp0)) and float(lp0) > float(lp1)
+    g = jax.grad(lambda v: fn(v)[0])(dict(vals))
+    assert np.isfinite(float(g['amp'])) and float(g['amp']) != 0.

@@ -38,6 +38,9 @@ def _positions(chain, names=('a', 'b')):
     ('MCMCSampler', dict(nchains=8), dict(nsteps=200)),
     ('HMCSampler', dict(nchains=8, nleapfrog=8), dict(nsteps=80, nwarmup=100)),
     ('EnsembleSampler', dict(nwalkers=32), dict(nsteps=100)),
+    ('ChEESSampler', dict(nchains=32), dict(nsteps=60, nwarmup=80)),
+    ('NUTSSampler', dict(nchains=32, max_depth=5, trajectory='jitter'),
+     dict(nsteps=60, nwarmup=80)),
 ])
 def test_mesh_sharded_chains(sampler_name, kwargs, run_kwargs):
     """Determinism contract: same (seed, mesh) -> bit-identical chains; a
