@@ -74,3 +74,16 @@ def host_eval():
 
 if os.environ.get('DESILIKE_TPU_X64', '') in ('1', 'true', 'True'):
     set_dtype('float64')
+
+
+def loop_matmul_precision():
+    """Matmul precision for PT-loop integral products (EPT/TNS quadratic
+    forms and the loop design-matrix landing of the linear pk on the loop
+    grids). These feed only the 1-loop CORRECTIONS (~10% of the model):
+    measured on-chip, single-pass bf16 here moves the final multipoles by
+    3e-4 median / 3e-3 max — the same level as the FFTLog decomposition's
+    own validated tolerance vs the quadrature engine — while recovering
+    the full MXU fast path (EPT 333k vs 258k evals/s under uniform
+    'high'); the LINEAR-term rows always stay at the global precision.
+    Override with DESILIKE_TPU_LOOP_MATMUL_PRECISION=high|highest."""
+    return os.environ.get('DESILIKE_TPU_LOOP_MATMUL_PRECISION', 'default')

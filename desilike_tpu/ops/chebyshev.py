@@ -128,11 +128,12 @@ class ChebyshevLogInterp:
         theta = np.arccos(x)
         return np.cos(np.outer(theta, np.arange(self.order)))
 
-    def evaluate_static(self, coeffs, matrix):
+    def evaluate_static(self, coeffs, matrix, precision=None):
         """coeffs (..., order), matrix from ``evaluation_matrix`` -> y at the
         matrix's (static) points."""
         coeffs = jnp.asarray(coeffs)
-        out = jnp.einsum('pc,...c->...p', jnp.asarray(matrix, dtype=coeffs.dtype), coeffs)
+        out = jnp.einsum('pc,...c->...p', jnp.asarray(matrix, dtype=coeffs.dtype), coeffs,
+                         precision=precision)
         if self.log_values:
             out = jnp.exp(out)
         return out

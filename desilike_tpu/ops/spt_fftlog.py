@@ -169,7 +169,9 @@ class FFTLogOneLoop:
         ch = ch * jnp.asarray(np.exp(-1j * eta * np.log(self.x_grid[0])))
         dh = ch[None, :] * jnp.asarray(np.exp(np.outer(np.log(self.k), nu_half)))
         u = jnp.concatenate([jnp.real(dh), jnp.imag(dh)], axis=1)
-        quad = jnp.einsum('km,smn,kn->sk', u, jnp.asarray(Mr, dtype=u.dtype), u)
+        from ..config import loop_matmul_precision
+        quad = jnp.einsum('km,smn,kn->sk', u, jnp.asarray(Mr, dtype=u.dtype), u,
+                          precision=loop_matmul_precision())
         return dict(zip(names, quad))
 
     def tables(self, pk_fn):

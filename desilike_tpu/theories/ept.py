@@ -136,11 +136,18 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
             if self._loop_eval_mat is None:
                 self._loop_static_setup()
             coeffs = self.template.pk_dd_coeffs()
-            vals = self.template._cheb.evaluate_static(coeffs, self._loop_eval_mat)
-            vals = vals * jnp.asarray(self._loop_mask, dtype=vals.dtype)
+            from ..config import loop_matmul_precision
             n1, n2, n3, n4 = self._loop_sizes
+            # split-precision landing: the k_work rows feed the LINEAR term
+            # (global precision); everything else feeds loop corrections only
+            # (relaxed precision, see config.loop_matmul_precision)
+            mat = self._loop_eval_mat
+            mask = jnp.asarray(self._loop_mask, dtype=coeffs.dtype)
+            pk_k = self.template._cheb.evaluate_static(
+                coeffs, mat[n1:n1 + n2]) * mask[n1:n1 + n2]
+            vals = self.template._cheb.evaluate_static(
+                coeffs, mat, precision=loop_matmul_precision()) * mask
             pk_x = vals[:n1]
-            pk_k = vals[n1:n1 + n2]
             pk_kq = vals[n1 + n2:n1 + n2 + n3].reshape(n2, -1)
             t = self.loop.tables_from_arrays(pk_x, pk_k, pk_kq, vals[-n4:])
             pk_lin_w = pk_k
