@@ -150,8 +150,35 @@ def JAXEffortTracerPowerSpectrumMultipoles(emulator_fn=None, calculator=None, **
 
 class Cosmoprimo(Cosmology):
     """Reference theories/primordial_cosmology.py:78 Boltzmann node name ->
-    the in-framework :class:`Cosmology` calculator (background ODEs +
-    EH98/injected linear pk engines, theta_MC_100 support)."""
+    the in-framework :class:`Cosmology` calculator (background ODEs,
+    EH98/99, injected tables, the emulated Boltzmann-quality engine,
+    theta_MC_100 support).
+
+    Host Boltzmann engine names ('class', 'camb', ...) map to
+    ``engine='emulator'`` when trained weights are passed (the
+    Boltzmann-quality standalone path, cosmology/emulator.py), else to the
+    'eh99' approximation with a logged warning — there is no C Boltzmann
+    code in the loop here."""
+
+    _HOST_ENGINES = ('class', 'camb', 'classy', 'isitgr', 'mgcamb')
+
+    def initialize(self, engine='eh98', emulator=None, fiducial=None, **kwargs):
+        if isinstance(fiducial, str):
+            # named fiducials ('DESI', ...): the framework default IS the
+            # DESI fiducial (cosmology/background.DEFAULT_PARAMS)
+            fiducial = None
+        if str(engine) in self._HOST_ENGINES:
+            if emulator is not None:
+                engine = 'emulator'
+            else:
+                self.log.warning(
+                    "engine='{}' is a host Boltzmann code; falling back to the "
+                    "'eh99' approximation (few-percent transfer function). For "
+                    'Boltzmann-quality standalone fits train the emulated engine '
+                    '(scripts/generate_boltzmann_tables.py + '
+                    'train_boltzmann_emulator.py) and pass emulator=.'.format(engine))
+                engine = 'eh99'
+        super().initialize(engine=engine, emulator=emulator, fiducial=fiducial, **kwargs)
 
 
 # --- sampler aliases ------------------------------------------------------

@@ -124,3 +124,15 @@ def test_samples_reexports():
     assert callable(load_source)
     cov = ParameterCovariance(np.eye(2) * 0.1, params=['a', 'b'])
     assert cov.view(params=['a'])[0, 0] == pytest.approx(0.1)
+
+
+def test_cosmoprimo_host_engine_mapping():
+    """Reference scripts pass engine='class'/fiducial='DESI': the alias maps
+    host Boltzmann engines to eh99 (warned) or the emulated engine, and
+    named fiducials to the framework's DESI defaults."""
+    from desilike_tpu.compat import Cosmoprimo
+    from desilike_tpu.core import Pipeline
+    c = Cosmoprimo(engine='class', fiducial='DESI')
+    Pipeline(c).evaluate({})
+    assert c.engine == 'eh99'
+    assert np.isfinite(float(c.rs_drag()))
