@@ -37,6 +37,18 @@ class BasePosteriorSampler(BaseClass):
         self.mesh = mesh
         self.diagnostics = {}
 
+    def _cached_jit(self, key, builder):
+        """Per-sampler cache of jitted kernels: every run() rebuilds its
+        closures, so jax's own trace cache (keyed by function identity)
+        misses and repeated runs — notably sample()'s convergence loop —
+        recompile from scratch (~minutes on a remote TPU). Builders must
+        close only over static sampler config; anything that changes
+        between runs is passed as an argument or folded into ``key``."""
+        cache = self.__dict__.setdefault('_jit_cache', {})
+        if key not in cache:
+            cache[key] = builder()
+        return cache[key]
+
     def _shard_chains(self, *arrays):
         """Place per-chain batches on the sampler's mesh (sharded over the
         'chains' axis) so the vmapped jitted kernels partition across chips

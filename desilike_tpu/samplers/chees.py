@@ -163,7 +163,6 @@ class ChEESSampler(NUTSSampler):
         nw1 = int(np.ceil(0.7 * nwarmup))
         nw2 = nwarmup - nw1
 
-        @jax.jit
         def run_all(u0, inv_mass0, eps0, log_T0, keys_warm, keys_samp, h_warm, h_samp):
             lp0, grad0 = jax.vmap(lg)(u0)
             adam0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
@@ -250,6 +249,8 @@ class ChEESSampler(NUTSSampler):
         keys_warm = (jax.random.split(self._next_key(), nwarmup) if nwarmup
                      else jax.random.split(self._next_key(), 1)[:0])
         keys_samp = jax.random.split(self._next_key(), nsteps)
+        run_all = self._cached_jit(('chees-run', nsteps, nwarmup, bool(resume)),
+                                   lambda: jax.jit(run_all))
         state, records, stats, eps, inv_mass, log_T = run_all(
             u0, inv_mass0, eps0, log_T0, keys_warm, keys_samp, jnp.asarray(h_warm), jnp.asarray(h_samp))
         jax.block_until_ready(state[0])

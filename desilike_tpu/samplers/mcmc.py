@@ -91,7 +91,9 @@ class MCMCSampler(BasePosteriorSampler):
 
         keys = jax.random.split(self._next_key(), self.nchains)
         start, lp0, aux0, logscale0, keys = self._shard_chains(start, lp0, aux0, logscale0, keys)
-        (x_f, lp_f, aux_f, logscale_f, _), records = jax.jit(jax.vmap(run_chain))(
+        runner = self._cached_jit(('mcmc-run', nsteps, nadapt),
+                                  lambda: jax.jit(jax.vmap(run_chain)))
+        (x_f, lp_f, aux_f, logscale_f, _), records = runner(
             start, lp0, aux0, logscale0, keys)
         self._state = (x_f, lp_f, aux_f, logscale_f)
         records = jax.tree.map(lambda v: jnp.moveaxis(v, 0, 1), records)  # (nsteps, nchains, ...)

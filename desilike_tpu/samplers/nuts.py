@@ -289,8 +289,6 @@ class NUTSSampler(BasePosteriorSampler):
 
         hs = jnp.asarray(np.array([halton(i + 1) for i in range(nsteps)]))
         keys = jax.random.split(self._next_key(), nsteps)
-        eps_b = jnp.broadcast_to(eps, (nchains,))
-        inv_b = jnp.broadcast_to(inv_mass, (nchains, ndim))
 
         def leapfrog_chain(u, grad, r, eps_c, nsteps_t, inv_mass_c):
             def body(s):
@@ -305,8 +303,7 @@ class NUTSSampler(BasePosteriorSampler):
             lp, grad = lg(u)
             return u, lp, grad, r
 
-        @jax.jit
-        def run_all(u, lp, grad, keys, hs):
+        def run_all(u, lp, grad, eps_b, inv_b, keys, hs):
             def body(carry, inp):
                 u, lp, grad = carry
                 key, h = inp
@@ -332,7 +329,11 @@ class NUTSSampler(BasePosteriorSampler):
 
             return lax.scan(body, (u, lp, grad), (keys, hs))
 
-        return run_all(u, lp, grad, keys, hs)
+        runner = self._cached_jit(('nuts-jitter', nsteps, round(float(L_ref), 6), max_steps),
+                                  lambda: jax.jit(run_all))
+        eps_b = jnp.broadcast_to(eps, (nchains,))
+        inv_b = jnp.broadcast_to(inv_mass, (nchains, ndim))
+        return runner(u, lp, grad, eps_b, inv_b, keys, hs)
 
     def run(self, nsteps=1000, nwarmup=None, thin=1, resume=False):
         if nwarmup is None:
@@ -463,7 +464,8 @@ class NUTSSampler(BasePosteriorSampler):
                                            'path_length_leapfrogs': L_ref})
 
         u, lp, grad, eps, inv_mass, ks = self._shard_chains(u, lp, grad, eps, inv_mass, ks)
-        sample = jax.jit(jax.vmap(sample_chain))
+        sample = self._cached_jit(('nuts-sample', nsteps),
+                                  lambda: jax.jit(jax.vmap(sample_chain)))
         (u_f, lp_f, grad_f), records = sample(u, lp, grad, eps, inv_mass, ks)
         self._state = (u_f, lp_f, grad_f, eps, inv_mass, nleap)
         records = jax.tree.map(lambda v: jnp.moveaxis(v, 0, 1), records)
