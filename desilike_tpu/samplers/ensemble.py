@@ -90,12 +90,12 @@ class EnsembleSampler(BasePosteriorSampler):
         step = self._build_step()
         keys = jax.random.split(self._next_key(), nsteps)
 
-        @jax.jit
         def scan_all(state, keys):
             return lax.scan(step, state, keys)
 
+        scan_fn = self._cached_jit(('ensemble-run', nsteps), lambda: jax.jit(scan_all))
         state0 = (start, lp0, aux0, jnp.zeros((), dtype=jnp.int32))
-        (xf, lpf, auxf, naccept), records = scan_all(state0, keys)
+        (xf, lpf, auxf, naccept), records = scan_fn(state0, keys)
         jax.block_until_ready(lpf)
         self._state = (xf, lpf, auxf, naccept)
         self.diagnostics['acceptance_rate'] = float(naccept) / (nsteps * self.nwalkers)
@@ -223,13 +223,13 @@ class EnsembleSliceSampler(BasePosteriorSampler):
         step = self._build_step()
         keys = jax.random.split(self._next_key(), nsteps)
 
-        @jax.jit
         def scan_all(state, keys):
             return lax.scan(step, state, keys)
 
+        scan_fn = self._cached_jit(('ensemble-slice-run', nsteps), lambda: jax.jit(scan_all))
         _, aux0 = self.logpost_batch(start)
         state0 = (start, lp0, aux0, jnp.zeros((), dtype=jnp.int32), jnp.zeros((), dtype=jnp.int32))
-        (xf, lpf, auxf, naccept, ncall), records = scan_all(state0, keys)
+        (xf, lpf, auxf, naccept, ncall), records = scan_fn(state0, keys)
         jax.block_until_ready(lpf)
         self._state = (xf, lpf, auxf, naccept)
         self.diagnostics['acceptance_rate'] = float(naccept) / (nsteps * self.nwalkers)

@@ -133,7 +133,9 @@ class MCLMCSampler(NUTSSampler):
             u0, keys = self._shard_chains(u0, keys)
             carry = jax.jit(jax.vmap(warm_chain))(u0, keys)
         keys = self._shard_chains(jax.random.split(self._next_key(), self.nchains))
-        carry, rec = jax.jit(jax.vmap(sample_chain))(carry, keys)
+        sampler_fn = self._cached_jit(('hmc-sample', nsteps),
+                                      lambda: jax.jit(jax.vmap(sample_chain)))
+        carry, rec = sampler_fn(carry, keys)
         self._state = carry
         xs = jnp.moveaxis(rec['x'], 0, 1)  # (nsteps, nchains, ndim)
         jax.block_until_ready(xs)
