@@ -46,20 +46,31 @@ def build_likelihood():
     return ObservablesGaussianLikelihood(observables=observables, footprints=footprints)
 
 
-def main():
-    like = build_likelihood()
-    pipe = like.pipeline
-    fn = like.logpost_fn()
-    names = pipe.varied_params.names()
+def build():
+    """Build phase: pure host-side work. Pinned to the CPU backend so a
+    remote-TPU hiccup can never kill the bench before any TPU work is
+    needed (round-3 failure mode: an init-time eager op dispatched to the
+    tunneled backend, which was down). With DESILIKE_TPU_BENCH_BUILD_ONLY=1
+    this phase must run to completion even under JAX_PLATFORMS=cpu."""
+    import os
+    from desilike_tpu.config import host_eval
+    with host_eval():
+        like = build_likelihood()
+        pipe = like.pipeline
+        fn = like.logpost_fn()
 
-    batch = 4096
-    rng = np.random.default_rng(0)
-    values = {}
-    for p in pipe.varied_params:
-        scale = p.proposal or 0.01
-        values[p.name] = jnp.asarray(p.value + scale * 0.1 * rng.standard_normal(batch),
-                                     dtype=jnp.float32)
+        batch = 4096
+        rng = np.random.default_rng(0)
+        values = {}
+        for p in pipe.varied_params:
+            scale = p.proposal or 0.01
+            values[p.name] = np.asarray(
+                p.value + scale * 0.1 * rng.standard_normal(batch), dtype='f4')
+    return fn, values, batch
 
+
+def measure(fn, values, batch):
+    values = {k: jnp.asarray(v) for k, v in values.items()}
     vfn = jax.jit(jax.vmap(lambda v: fn(v)[0]))
     # warmup/compile
     out = vfn(values)
@@ -71,7 +82,34 @@ def main():
         out = vfn(values)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    evals_per_sec = nrep * batch / dt
+    return nrep * batch / dt
+
+
+def main():
+    import os
+    fn, values, batch = build()
+    if os.environ.get('DESILIKE_TPU_BENCH_BUILD_ONLY'):
+        print(json.dumps({'metric': 'build_only', 'value': 1, 'unit': 'ok',
+                          'vs_baseline': 0}))
+        return
+
+    last_err = None
+    for attempt in range(2):  # retry once: remote backends can be flaky
+        try:
+            evals_per_sec = measure(fn, values, batch)
+            break
+        except Exception as exc:  # noqa: BLE001 - diagnose, retry, fail soft
+            last_err = exc
+            print('# bench attempt {} failed: {!r}'.format(attempt, exc),
+                  file=sys.stderr)
+            time.sleep(10)
+    else:
+        print(json.dumps({
+            'metric': 'joint_2tracer_fs_bao_likelihood_evals_per_sec',
+            'value': 0.0, 'unit': 'evals/s', 'vs_baseline': 0.0,
+            'error': repr(last_err)[:500],
+        }))
+        return
 
     target = 1e5
     print(json.dumps({

@@ -80,6 +80,13 @@ class InitConfig(dict):
         self._calculator.runtime_info.initialized = False
 
 
+INIT_GENERATION = [0]
+"""Bumped on every calculator (re-)initialization; consumers caching
+anything keyed on calculator identity (Pipeline._footprint_memo) compare
+against it so a re-init — which may change a node's parameters — can never
+serve a stale cache (id() reuse after GC is covered too)."""
+
+
 class RuntimeInfo(object):
     """Bookkeeping attached to each calculator (reference base.py:860)."""
 
@@ -94,6 +101,16 @@ class RuntimeInfo(object):
     def initialize(self):
         if self.initialized:
             return self.calculator
+        # Initialization is host-side work (static tables, quadrature weights,
+        # data vectors); under a tunneled/remote default backend every eager
+        # op it dispatches would be a ~10 ms round-trip — and a backend
+        # failure would kill pipeline *construction*. Pin it all to the CPU.
+        from ..config import host_eval
+        with host_eval():
+            return self._initialize()
+
+    def _initialize(self):
+        INIT_GENERATION[0] += 1
         calc = self.calculator
         # default params: class-level _params (dict or callable on init config)
         cls_params = getattr(calc, '_params', None)

@@ -32,9 +32,11 @@ class Pipeline(BaseClass):
             for req in calc.runtime_info.requires:
                 callback(req)
 
-        callback(root)
-        self.calculators = self.calculators[::-1]  # dependencies first
-        self._set_params()
+        from ..config import host_eval
+        with host_eval():  # graph build is host-side work; never touch the TPU
+            callback(root)
+            self.calculators = self.calculators[::-1]  # dependencies first
+            self._set_params()
         self._compiled = {}
 
     def _stale(self):
@@ -142,10 +144,11 @@ class Pipeline(BaseClass):
         """Input parameter names influencing ``calc`` directly or through its
         transitive dependencies — the reference's footprint notion
         (base.py:737 block_params)."""
-        try:
-            memo = self._footprint_memo
-        except AttributeError:
-            memo = self._footprint_memo = {}
+        from .calculator import INIT_GENERATION
+        if getattr(self, '_footprint_generation', None) != INIT_GENERATION[0]:
+            self._footprint_memo = {}
+            self._footprint_generation = INIT_GENERATION[0]
+        memo = self._footprint_memo
 
         def walk(c):
             if id(c) not in memo:

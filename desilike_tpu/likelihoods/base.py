@@ -213,10 +213,16 @@ class BaseLikelihood(Calculator):
             if nm:
                 nd = like.size
                 if nm < nd + 5:
-                    raise ValueError(
+                    # outside the Percival validity regime: degrade to the
+                    # Hartlap-only factor with a warning, like the reference
+                    # (likelihoods/base.py:633-656) — don't hard-fail a config
+                    # the reference runs
+                    self.log.warning(
                         'Percival 2014 factor needs nmocks > ndata + 4 (got nmocks={}, '
-                        'ndata={}); the formula is outside its validity regime — use more '
-                        'mocks or an analytic covariance'.format(nm, nd))
+                        'ndata={}); applying the Hartlap factor only'.format(nm, nd))
+                    like._whiten = like._whiten_base
+                    like.precision = like._precision_base
+                    continue
                 nv = len(pipe.varied_params) + nsolved
                 A = 2. / ((nm - nd - 1.) * (nm - nd - 4.))
                 B = (nm - nd - 2.) / ((nm - nd - 1.) * (nm - nd - 4.))

@@ -193,6 +193,36 @@ def test_percival_factor_applied():
     np.testing.assert_allclose(like.precision, prec1, rtol=0, atol=0)
 
 
+def test_percival_outside_validity_degrades_to_hartlap(caplog):
+    """nmocks barely above ndata: Percival 2014 is outside its validity
+    regime — warn and apply the Hartlap-only factor (as the reference does,
+    likelihoods/base.py:633-656), instead of hard-failing at logpost_fn."""
+    import logging
+    rng = np.random.default_rng(6)
+    theory = DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0,))
+    obs = TracerPowerSpectrumMultipolesObservable(
+        data={}, klim={0: (0.05, 0.15, 0.01)}, theory=theory)
+    obs.runtime_info.initialize()
+    nd = len(obs.flatdata)
+    nmocks = nd + 3  # Hartlap defined (> nd + 2), Percival not (< nd + 5)
+    mocks = obs.flatdata + rng.normal(0, 0.05 * np.abs(obs.flatdata), (nmocks, nd))
+    obs2 = TracerPowerSpectrumMultipolesObservable(
+        data=obs.flatdata, klim={0: (0.05, 0.15, 0.01)},
+        theory=DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0,)),
+        covariance=list(mocks))
+    like = ObservablesGaussianLikelihood(observables=[obs2])
+    like.runtime_info.initialize()
+    assert 0. < like.hartlap < 1.
+    with caplog.at_level(logging.WARNING):
+        fn = like.logpost_fn()
+    assert any('Hartlap factor only' in rec.message for rec in caplog.records)
+    # Hartlap-only: precision is the (Hartlap-scaled) base, no Percival m
+    np.testing.assert_allclose(like.precision, like._precision_base, rtol=0, atol=0)
+    vals = {p.name: jnp.asarray(p.value) for p in like.pipeline.varied_params}
+    lp, _ = fn(vals)
+    assert np.isfinite(float(lp))
+
+
 def test_sum_with_nongaussian_and_dynamic_solved():
     """Regression: a non-Gaussian likelihood summed with a Gaussian that has
     a dynamically-solved (linearize-path) param must not leak tracers (its
