@@ -164,9 +164,17 @@ class Cosmoprimo(Cosmology):
 
     def initialize(self, engine='eh98', emulator=None, fiducial=None, **kwargs):
         if isinstance(fiducial, str):
-            # named fiducials ('DESI', ...): the framework default IS the
-            # DESI fiducial (cosmology/background.DEFAULT_PARAMS)
-            fiducial = None
+            # the framework default IS the DESI fiducial
+            # (cosmology/background.DEFAULT_PARAMS) — accept only names that
+            # actually mean it; anything else silently running with DESI
+            # parameters would corrupt a ported reference script
+            if fiducial in ('DESI', 'DESI2024'):
+                fiducial = None
+            else:
+                raise ValueError(
+                    "unknown named fiducial {!r}: only 'DESI' maps onto the "
+                    'built-in default; pass an explicit parameter dict for other '
+                    'fiducial cosmologies'.format(fiducial))
         if str(engine) in self._HOST_ENGINES:
             if emulator is not None:
                 engine = 'emulator'

@@ -205,7 +205,11 @@ class ChEESSampler(NUTSSampler):
 
                 (state, da, wf, _), _ = lax.scan(body, (state0, da0, wf0, 0.), (keys, hs))
                 var_sum, cnt = wf
-                eps_bar = jnp.where(cnt > 0., jnp.exp(da[1]), eps_in)
+                # eps_bar gates on whether the phase ran ANY iterations
+                # (static), NOT on the variance-collection counter: phase B
+                # collects no variance (collect_from > nphase) but its whole
+                # point is the dual-averaged eps re-tune after the mass swap.
+                eps_bar = jnp.exp(da[1]) if nphase > 0 else eps_in
                 var = jnp.where(cnt > 2., jnp.clip(var_sum / jnp.maximum(cnt, 1.), 1e-12, 1e12),
                                 state0[5])
                 return state, eps_bar, var

@@ -278,6 +278,14 @@ class NUTSSampler(BasePosteriorSampler):
         records like lax.scan."""
         ndim, nchains = self.ndim, self.nchains
         max_steps = int(np.clip(4 * L_ref, 4, 2 ** self.max_depth))
+        # Recording tax (ADVICE r3): re-evaluating the pipeline at the
+        # accepted point just to fill the record is one extra whole-pipeline
+        # eval per iteration. When aux holds nothing beyond loglike/logprior,
+        # reconstruct instead: lp_x = lp_u - log|Jacobian| (static transform),
+        # logprior is an elementwise prior sum, loglike = lp_x - logprior.
+        aux_spec = jax.eval_shape(self.logpost_flat, jnp.zeros(ndim))[1]
+        cheap_aux = set(aux_spec) <= {'loglikelihood', 'logprior'}
+        pipe, names = self.pipeline, self.names
 
         def halton(i, base=2):
             f, r, ii = 1., 0., i
@@ -321,8 +329,19 @@ class NUTSSampler(BasePosteriorSampler):
                 u_n = jnp.where(accept[:, None], u1, u)
                 lp_n = jnp.where(accept, lp1, lp)
                 grad_n = jnp.where(accept[:, None], grad1, grad)
-                x, _ = jax.vmap(self._constrain)(u_n)
-                lp_x, aux = jax.vmap(self.logpost_flat)(x)
+                x, logjac_n = jax.vmap(self._constrain)(u_n)
+                if cheap_aux:
+                    lp_x = lp_n - logjac_n
+                    aux = {}
+                    if 'logprior' in aux_spec or 'loglikelihood' in aux_spec:
+                        logprior = jax.vmap(
+                            lambda xx: pipe.logprior(dict(zip(names, xx))))(x)
+                        if 'logprior' in aux_spec:
+                            aux['logprior'] = logprior
+                        if 'loglikelihood' in aux_spec:
+                            aux['loglikelihood'] = lp_x - logprior
+                else:
+                    lp_x, aux = jax.vmap(self.logpost_flat)(x)
                 record = {'x': x, 'logposterior': lp_x,
                           'divergence': delta < -1000., **aux}
                 return (u_n, lp_n, grad_n), record

@@ -70,6 +70,12 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         lo_t, hi_t = self.template.init['k'][0], self.template.init['k'][-1]
         klo = max(self.k[0] * 0.6, lo_t * (1. + 1e-6))
         khi = min(self.k[-1] * 1.7, hi_t * (1. - 1e-6))
+        if klo >= khi:
+            raise ValueError(
+                'requested output k-range [{:.4g}, {:.4g}] h/Mpc is incompatible with '
+                'the template k-grid [{:.4g}, {:.4g}]: the loop working range is empty. '
+                'Widen the template k limits (nk_template / template k=) or move the '
+                'output range inside them.'.format(self.k[0], self.k[-1], lo_t, hi_t))
         self.k_work = np.geomspace(klo, khi, int(nk_loop))
         if str(loop_method) == 'fftlog':
             # FFTLog-matrix loops (ops/spt_fftlog.py): per-eval cost is one

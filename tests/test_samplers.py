@@ -205,6 +205,35 @@ def test_chees_manychain_mixing():
     assert np.isfinite(np.asarray(more['logposterior'])).all()
 
 
+def test_chees_phase_b_eps_retune_reaches_target():
+    """Regression (ADVICE r3): phase B's dual-averaged step size was
+    discarded (eps_bar gated on the variance-collection counter, which
+    phase B never increments), leaving sampling eps at the Gaussian
+    rescale-heuristic value. On a non-Gaussian target with anisotropic
+    hessian-vs-variance mass mismatch that heuristic lands far from the
+    acceptance target (measured 0.96 vs 0.651); the retune brings it back."""
+    from desilike_tpu.likelihoods import BaseLikelihood
+    from desilike_tpu.samplers import ChEESSampler
+
+    class QuarticModel(BaseLikelihood):
+        _params = dict(BaseLikelihood._params)
+        _params.update({
+            'a': dict(value=0., prior=dict(limits=[-8, 8]), ref=dict(dist='norm', loc=0., scale=1.0)),
+            'b': dict(value=0., prior=dict(limits=[-1, 1]), ref=dict(dist='norm', loc=0., scale=0.1)),
+        })
+
+        def calculate(self, a=0., b=0., **kw):
+            s = 0.05
+            self.loglikelihood = -0.5 * a ** 2 - 0.5 * (b / s) ** 4
+
+    like = QuarticModel()
+    sampler = ChEESSampler(like, seed=17, nchains=256)
+    chain = sampler.run(nsteps=150, nwarmup=200)
+    # with the bug the heuristic eps gives ~0.96 acceptance; retuned ~0.69
+    assert 0.5 < sampler.diagnostics['acceptance_rate'] < 0.9
+    assert np.isfinite(np.asarray(chain['logposterior'])).all()
+
+
 def test_nuts_jitter_trajectory_mixing():
     """trajectory='jitter': NUTS warmup + dense fixed-budget jittered-HMC
     sampling (the many-chain lockstep-tax fix). Posterior moments and GR
