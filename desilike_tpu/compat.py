@@ -35,12 +35,19 @@ class _OneLoopPowerAlias(EPTTracerPowerSpectrumMultipoles):
     """1-loop full-shape pk multipoles under a reference wrapper name.
 
     Maps onto the in-framework 1-loop Eulerian PT model
-    (:class:`EPTTracerPowerSpectrumMultipoles`, FFTLog-matrix loops);
+    (:class:`EPTTracerPowerSpectrumMultipoles`, FFTLog-matrix loops,
+    IR-resummed by default — matching the wrapped codes, all of which
+    resum: velocileptors ept_fullresum, pybird with_resum='full', folpsax);
     reference-wrapper-specific options (tracer presets, external-code
-    threading, ...) are accepted and ignored.
+    threading, ...) are accepted and ignored.  ``kIR`` maps to the IR
+    separation scale ``resum_ks`` rather than being dropped.
     """
 
     def initialize(self, *args, **kwargs):
+        kIR = kwargs.get('kIR', None)
+        if kIR is not None:
+            # same role in both codes: upper limit of the IR damping integral
+            kwargs.setdefault('resum_ks', float(kIR))
         for name in _PT_WRAPPER_OPTIONS:
             kwargs.pop(name, None)
         super().initialize(*args, **kwargs)
@@ -48,9 +55,12 @@ class _OneLoopPowerAlias(EPTTracerPowerSpectrumMultipoles):
 
 class _OneLoopCorrelationAlias(EPTTracerCorrelationFunctionMultipoles):
     """1-loop full-shape xi multipoles under a reference wrapper name (see
-    :class:`_OneLoopPowerAlias`)."""
+    :class:`_OneLoopPowerAlias`; IR-resummed by default, kIR -> resum_ks)."""
 
     def initialize(self, *args, **kwargs):
+        kIR = kwargs.get('kIR', None)
+        if kIR is not None:
+            kwargs.setdefault('resum_ks', float(kIR))
         for name in _PT_WRAPPER_OPTIONS:
             kwargs.pop(name, None)
         super().initialize(*args, **kwargs)

@@ -226,9 +226,10 @@ def plot_contour(profiles, pair, labels=None, colors=None, truths=None,
     """2D confidence contours from one or several Profiles containers
     (reference samples/plotting.py contour plots).
 
-    Reads the canonical contour form ({'paths': {cl: (x, y)}, 'grid':
-    (g1, g2, chi2)}) through ``Profiles.contour_paths``; when only the grid
-    is stored, contours are drawn at the 2D Delta-chi2 levels (2.30, 6.18).
+    Reads the canonical contour form ({'paths': {cl: [(x, y), ...]}, 'grid':
+    (g1, g2, chi2)}) through ``Profiles.contour_paths`` (all disjoint
+    segments drawn); when only the grid is stored, contours are drawn at
+    the 2D Delta-chi2 levels (2.30, 6.18).
     """
     from matplotlib import pyplot as plt
     if not isinstance(profiles, (list, tuple)):
@@ -241,9 +242,11 @@ def plot_contour(profiles, pair, labels=None, colors=None, truths=None,
         label = labels[iprof] if labels else None
         paths = prof.contour_paths(pair) if pair in prof.contour else {}
         if paths:
-            for icl, (cl, (x, y)) in enumerate(sorted(paths.items())):
-                ax.plot(np.asarray(x), np.asarray(y), color=color,
-                        lw=1.5 - 0.5 * icl, label=label if icl == 0 else None)
+            for icl, (cl, segs) in enumerate(sorted(paths.items())):
+                for iseg, (x, y) in enumerate(segs):
+                    ax.plot(np.asarray(x), np.asarray(y), color=color,
+                            lw=1.5 - 0.5 * icl,
+                            label=label if icl == 0 and iseg == 0 else None)
         else:
             entry = prof.contour.get(pair, {})
             grid = entry.get('grid') if isinstance(entry, dict) else None

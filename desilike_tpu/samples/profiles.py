@@ -23,10 +23,12 @@ class Profiles(BaseClass):
         Delta-chi2 = 1 likelihood intervals.
     profile : dict name -> (values, chi2)
         1D profile scans.
-    contour : dict (name1, name2) -> {'paths': {cl: (x, y)}, 'grid': (g1, g2, chi2)}
-        2D contour results; the legacy flat form {cl: (x, y)} is accepted on
-        write and normalized to the 'paths' form by save/load. Use
-        :meth:`contour_paths` to read either form.
+    contour : dict (name1, name2) -> {'paths': {cl: [(x, y), ...]}, 'grid': (g1, g2, chi2)}
+        2D contour results; each confidence level holds a LIST of disjoint
+        path segments. The legacy forms (flat dict, single (x, y) tuple per
+        level) are accepted on write and normalized by save/load. Use
+        :meth:`contour_paths` to read any stored form (always returns the
+        list-of-segments form).
     grid : dict name or (names) -> (points, chi2)
         nD chi2 grid scans.
     """
@@ -56,12 +58,14 @@ class Profiles(BaseClass):
                 for name in self.bestfit.names()}
 
     def contour_paths(self, pair):
-        """{cl: (x, y)} contour paths for a parameter pair, whichever of the
-        stored forms (flat legacy dict or {'paths': ...}) is present."""
+        """{cl: [(x, y), ...]} contour path segments for a parameter pair,
+        whichever of the stored forms (flat legacy dict, single-tuple
+        levels, or {'paths': ...}) is present."""
         entry = self.contour[tuple(pair)]
         if isinstance(entry, dict) and ('paths' in entry or 'grid' in entry):
-            return entry.get('paths', {})
-        return entry
+            entry = entry.get('paths', {})
+        return {cl: ([segs] if isinstance(segs, tuple) else list(segs))
+                for cl, segs in entry.items()}
 
     def update(self, other):
         """Merge another Profiles' results (non-empty fields win)."""
@@ -165,8 +169,12 @@ class Profiles(BaseClass):
                     arrays['contourgrid:{}:{}:1'.format(n1, n2)] = np.asarray(g2)
                     arrays['contourgrid:{}:{}:chi2'.format(n1, n2)] = np.asarray(chi2)
                 entry = entry.get('paths', {})
-            for cl, (x, y) in entry.items():
-                arrays['contour:{}:{}:{}'.format(n1, n2, cl)] = np.stack([np.asarray(x), np.asarray(y)])
+            for cl, segs in entry.items():
+                if isinstance(segs, tuple):  # legacy single-path form
+                    segs = [segs]
+                for iseg, (x, y) in enumerate(segs):
+                    arrays['contour:{}:{}:{}:{}'.format(n1, n2, cl, iseg)] = \
+                        np.stack([np.asarray(x), np.asarray(y)])
         for name, (pts, chi2) in self.grid.items():
             key = name if isinstance(name, str) else ':'.join(name)
             arrays['grid:' + key] = np.asarray(pts)
@@ -196,9 +204,14 @@ class Profiles(BaseClass):
             elif key.startswith('profile:'):
                 new.profile[key[8:]] = (loaded[key][0], loaded[key][1])
             elif key.startswith('contour:'):
-                _, n1, n2, cl = key.split(':')
+                parts = key.split(':')
+                if len(parts) == 5:
+                    _, n1, n2, cl, iseg = parts
+                else:  # legacy single-segment key
+                    (_, n1, n2, cl), iseg = parts, 0
                 entry = new.contour.setdefault((n1, n2), {'paths': {}})
-                entry.setdefault('paths', {})[float(cl)] = (loaded[key][0], loaded[key][1])
+                segs = entry.setdefault('paths', {}).setdefault(float(cl), [])
+                segs.insert(min(int(iseg), len(segs)), (loaded[key][0], loaded[key][1]))
             elif key.startswith('contourgrid:'):
                 _, n1, n2, part = key.split(':')
                 entry = new.contour.setdefault((n1, n2), {'paths': {}})

@@ -12,6 +12,15 @@ Model: EFT-like Kaiser at one loop,
              + (ct0 + ct2 mu^2 + ct4 mu^4) k^2 P_lin + (sn0 + sn2 k^2 mu^2)/nd
 with the McDonald-Roy quadratic bias basis (b1, b2, bs2) and all
 counter/stochastic terms exactly marginalizable.
+
+IR resummation (default resum='full', matching every 1-loop model the
+reference exposes: velocileptors ept_fullresum ref full_shape.py:1447,
+pybird Resum with_resum='full' :1649-1660, folpsax :2301): wiggle/no-wiggle
+split of the linear input, damping scales Sigma^2/deltaSigma^2 from
+(1 - j0 + 2 j2)/j2 integrals of P_nw against the fiducial sound horizon,
+loops run on the LO-resummed input, and the tree term carries the full
+mu-dependent damping with the leading-order wiggle correction
+(1 + k^2 Sigma_tot^2) that cancels the loop's double-counted damped wiggle.
 """
 
 import re
@@ -53,7 +62,10 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
 
     def initialize(self, k=None, ells=(0, 2, 4), template=None, mu=8, method='leggauss',
                    shotnoise=1e4, nr=128, nx=64, nk_loop=96, nk_template=None,
-                   loop_method='fftlog', **kwargs):
+                   loop_method='fftlog', resum='full', resum_ks=0.4, **kwargs):
+        if resum not in (None, False, 'full'):
+            raise ValueError("resum must be 'full' or None (got {!r})".format(resum))
+        self.resum = 'full' if resum == 'full' else None
         super().initialize(k=k, ells=ells)
         if template is None:
             template = DirectPowerSpectrumTemplate()
@@ -87,7 +99,46 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         self._work_cheb = ChebyshevLogInterp(self.k_work, log_values=False)
         self._tmpl_lims = (self.template.init['k'][0], self.template.init['k'][-1])
         self._loop_eval_mat = None  # built lazily (needs the template's basis)
+        if self.resum:
+            self._resum_static_setup(float(resum_ks))
         self._set_eft_matrices()
+
+    def _resum_static_setup(self, ks):
+        r"""Static quadrature for the IR-damping scales (arXiv:1605.02149 /
+        FOLPS conventions; reference counterparts: velocileptors
+        ept_fullresum, ref full_shape.py:1447; pybird Resum, :1649-1660):
+
+          Sigma^2      = 1/(6 pi^2) \int_0^{ks} dq P_nw(q) [1 - j0(q l) + 2 j2(q l)]
+          deltaSigma^2 = 1/(2 pi^2) \int_0^{ks} dq P_nw(q) j2(q l)
+
+        with l the fiducial sound horizon (the BAO wiggle wavelength) and
+        ks the IR separation scale. P_nw is traced (per-evaluation), so only
+        the q grid, trapezoid weights and Bessel factors are static."""
+        from scipy.special import spherical_jn
+        self.template.runtime_info.initialize()  # for rs_drag_fid
+        l_bao = float(getattr(self.template, 'rs_drag_fid', 104.))
+        lo_t = self.template.init['k'][0]
+        qs = np.geomspace(max(1e-4, lo_t * (1. + 1e-6)), ks, 192)
+        w = np.zeros_like(qs)
+        d = np.diff(qs)
+        w[:-1] += d / 2.
+        w[1:] += d / 2.
+        j0 = spherical_jn(0, qs * l_bao)
+        j2 = spherical_jn(2, qs * l_bao)
+        self._resum_q = qs
+        self._resum_w_sigma = w * (1. - j0 + 2. * j2) / (6. * np.pi ** 2)
+        self._resum_w_dsigma = w * j2 / (2. * np.pi ** 2)
+
+    def _resum_scales(self, pknw_rq):
+        """(Sigma^2, deltaSigma^2, f0, Sigma^2_iso) from P_nw on the static
+        damping grid; Sigma^2_iso is the angle average of Sigma^2_tot(mu),
+        used to damp the loop INPUT (the loop corrections' own mu-dependent
+        damping is beyond leading-order wiggle counting)."""
+        sigma2 = jnp.sum(jnp.asarray(self._resum_w_sigma, dtype=pknw_rq.dtype) * pknw_rq)
+        dsigma2 = jnp.sum(jnp.asarray(self._resum_w_dsigma, dtype=pknw_rq.dtype) * pknw_rq)
+        f0 = self.template.f  # scalar growth rate (scale-dependence is subleading here)
+        s2_iso = (1. + f0 * (2. + f0) / 3.) * sigma2 - (2. / 15.) * f0 ** 2 * dsigma2
+        return sigma2, dsigma2, f0, s2_iso
 
     def _loop_static_setup(self):
         """Static Chebyshev design matrix from the template basis to ALL the
@@ -104,6 +155,9 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         lo, hi = self._tmpl_lims
         self._loop_mask = ((pts > lo) & (pts < hi)).astype('f8')
         self._loop_sizes = (len(loop.x_grid), len(loop.k), kq.size, len(SIGMA_V2_Q))
+        self._loop_pts2 = pts ** 2  # for the IR damping of the loop input
+        if self.resum:
+            self._resum_mat = self.template._cheb.evaluation_matrix(self._resum_q)
         # k_work must sit inside the template range for pk_lin to be exact
         n1, n2 = self._loop_sizes[:2]
         assert self._loop_mask[n1:n1 + n2].all(), 'k_work outside the template k range'
@@ -138,6 +192,8 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
 
     def calculate(self, b1=1.7, b2=0., bs=0., b3nl=0., sn0=0., **params):
         from ..ops.spt_fftlog import FFTLogOneLoop
+        resum = self.resum
+        sigma2 = dsigma2 = f0 = None
         if isinstance(self.loop, FFTLogOneLoop):
             if self._loop_eval_mat is None:
                 self._loop_static_setup()
@@ -149,25 +205,58 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
             # (relaxed precision, see config.loop_matmul_precision)
             mat = self._loop_eval_mat
             mask = jnp.asarray(self._loop_mask, dtype=coeffs.dtype)
-            pk_k = self.template._cheb.evaluate_static(
-                coeffs, mat[n1:n1 + n2]) * mask[n1:n1 + n2]
-            vals = self.template._cheb.evaluate_static(
-                coeffs, mat, precision=loop_matmul_precision()) * mask
+            if resum:
+                # IR resummation: the loop integrals run on the LO-resummed
+                # input P_nw + exp(-k^2 Sigma^2_iso) P_w — the wiggle split
+                # lands on every loop grid through the same static design
+                # matrix (one stacked MXU matmul for full + no-wiggle)
+                coeffs_nw = self.template.pknow_dd_coeffs()
+                stacked = jnp.stack([coeffs, coeffs_nw])
+                pk_k2 = self.template._cheb.evaluate_static(
+                    stacked, mat[n1:n1 + n2]) * mask[n1:n1 + n2]
+                vals2 = self.template._cheb.evaluate_static(
+                    stacked, mat, precision=loop_matmul_precision()) * mask
+                pknw_rq = self.template._cheb.evaluate_static(coeffs_nw, self._resum_mat)
+                sigma2, dsigma2, f0, s2_iso = self._resum_scales(pknw_rq)
+                damp_pts = jnp.exp(-jnp.asarray(self._loop_pts2, dtype=coeffs.dtype) * s2_iso)
+                vals = vals2[1] + damp_pts * (vals2[0] - vals2[1])
+                pk_k = pk_k2[1] + damp_pts[n1:n1 + n2] * (pk_k2[0] - pk_k2[1])
+            else:
+                pk_k = self.template._cheb.evaluate_static(
+                    coeffs, mat[n1:n1 + n2]) * mask[n1:n1 + n2]
+                vals = self.template._cheb.evaluate_static(
+                    coeffs, mat, precision=loop_matmul_precision()) * mask
             pk_x = vals[:n1]
             pk_kq = vals[n1 + n2:n1 + n2 + n3].reshape(n2, -1)
             t = self.loop.tables_from_arrays(pk_x, pk_k, pk_kq, vals[-n4:])
             pk_lin_w = pk_k
         else:
-            t = self.loop.tables(self._pk_fn())
-            pk_lin_w = self.template.pk_dd_interp(jnp.asarray(self.k_work))
-        # assemble on the working grid (McDonald-Roy basis)
-        pgg_dd = (b1 ** 2 * (pk_lin_w + t['p22_dd'] + t['p13_dd'])
+            lo, hi = self._tmpl_lims
+            base_fn = self._pk_fn()
+            if resum:
+                pknw_rq = self.template.pknow_dd_interp(jnp.asarray(self._resum_q))
+                sigma2, dsigma2, f0, s2_iso = self._resum_scales(pknw_rq)
+                tmpl = self.template
+
+                def fn(kq):
+                    msk = (kq > lo) & (kq < hi)
+                    pnw = tmpl.pknow_dd_interp(kq) * msk
+                    return pnw + jnp.exp(-kq ** 2 * s2_iso) * (base_fn(kq) - pnw)
+            else:
+                fn = base_fn
+            t = self.loop.tables(fn)
+            pk_lin_w = fn(jnp.asarray(self.k_work))
+        # assemble on the working grid (McDonald-Roy basis); with resum the
+        # linear (tree) term is added at the output stage instead, where its
+        # mu-dependent damping + leading-order wiggle correction live
+        lin_w = 0. if resum else pk_lin_w
+        pgg_dd = (b1 ** 2 * (lin_w + t['p22_dd'] + t['p13_dd'])
                   + 2. * b1 * b2 * t['pb2_d'] + 2. * b1 * bs * t['pbs2_d']
                   + 2. * b1 * b3nl * t['p_sig3sq']
                   + b2 ** 2 * t['pb22'] + 2. * b2 * bs * t['pb2s2'] + bs ** 2 * t['pbs22'])
-        pgg_dt = (b1 * (pk_lin_w + t['p22_dt'] + t['p13_dt'])
+        pgg_dt = (b1 * (lin_w + t['p22_dt'] + t['p13_dt'])
                   + b2 * t['pb2_t'] + bs * t['pbs2_t'] + b3nl * t['p_sig3sq'])
-        p_tt = pk_lin_w + t['p22_tt'] + t['p13_tt']
+        p_tt = lin_w + t['p22_tt'] + t['p13_tt']
 
         jac, kap, muap = self.template.ap_k_mu(self.k, self.mu)
         # scale-dependent under the eh99 engine (neutrino suppression in the
@@ -181,13 +270,27 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         plin_ap = self.template.pk_dd_interp(kap)
 
         pkmu = jac * (dd_ap + 2. * f * muap ** 2 * dt_ap + f ** 2 * muap ** 4 * tt_ap)
+        if resum:
+            # tree level, exactly: P_nw + e^{-k^2 Sigma_tot^2(mu)} (1 + k^2
+            # Sigma_tot^2(mu)) P_w — the (1 + ...) term cancels the damped
+            # tree wiggle double-counted by the loops at one-loop order
+            pnw_ap = self.template.pknow_dd_interp(kap)
+            pw_ap = plin_ap - pnw_ap
+            s2tot = ((1. + f0 * (f0 + 2.) * muap ** 2) * sigma2
+                     + f0 ** 2 * muap ** 2 * (muap ** 2 - 1.) * dsigma2)
+            damp = jnp.exp(-kap ** 2 * s2tot)
+            ptree = pnw_ap + damp * (1. + kap ** 2 * s2tot) * pw_ap
+            plin_ct = pnw_ap + damp * pw_ap
+            pkmu = pkmu + jac * (b1 + f * muap ** 2) ** 2 * ptree
+        else:
+            plin_ct = plin_ap
         # EFT counterterms: (ct_l mu^(l) pattern) k^2 P_lin
         mu_pows = {0: 1., 2: muap ** 2, 4: muap ** 4}
         self._ct_bases = {}
         for name in self.ct_names:
             ell = self.ct_ells[name]
             ct = params.get(name, 0.)
-            basis_mu = mu_pows[ell] * kap ** 2 * plin_ap * jac
+            basis_mu = mu_pows[ell] * kap ** 2 * plin_ct * jac
             self._ct_bases[name] = self.to_poles(jnp.broadcast_to(basis_mu, pkmu.shape))
             pkmu = pkmu + ct * basis_mu
         # stochastic terms
@@ -196,7 +299,7 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         pkmu = pkmu + (sn0 + sn2 * k_ ** 2 * self.mu ** 2) / self.nd
         self.power = self.to_poles(pkmu)
         # linear poles for diagnostics / pk11 consumers
-        self.pktable = {'pk11': self.to_poles(jnp.broadcast_to(plin_ap, pkmu.shape))}
+        self.pktable = {'pk11': self.to_poles(jnp.broadcast_to(plin_ct, pkmu.shape))}
 
     def solved_power_basis(self, basename):
         return self._ct_bases[basename]

@@ -112,6 +112,11 @@ class BasePowerSpectrumTemplate(Calculator):
     def pknow_dd_interp(self, k):
         return self._cheb_interp('pknow_dd', k)
 
+    def pknow_dd_coeffs(self):
+        """Chebyshev coefficients of the current no-wiggle pk (cached per
+        trace) — the wiggle/no-wiggle split consumed by IR resummation."""
+        return self._cheb_coeffs('pknow_dd')
+
     @property
     def qpar(self):
         return self.apeffect.qpar

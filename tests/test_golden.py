@@ -46,6 +46,12 @@ def build(name):
     if name == 'png':
         return PNGTracerPowerSpectrumMultipoles(ells=(0, 2), k=K), 'power'
     if name == 'ept':
+        # pinned at the round-2 physics (pre-IR-resummation path)
+        return EPTTracerPowerSpectrumMultipoles(
+            ells=(0, 2), k=K, template=ShapeFitPowerSpectrumTemplate(z=0.8),
+            resum=None), 'power'
+    if name == 'ept_resum':
+        # round-4 default: IR-resummed 1-loop EPT
         return EPTTracerPowerSpectrumMultipoles(
             ells=(0, 2), k=K, template=ShapeFitPowerSpectrumTemplate(z=0.8)), 'power'
     if name == 'tns':
@@ -67,6 +73,11 @@ def build(name):
         from desilike_tpu.theories import EPTTracerCorrelationFunctionMultipoles
         return EPTTracerCorrelationFunctionMultipoles(
             ells=(0, 2), s=np.linspace(40., 140., 26),
+            template=ShapeFitPowerSpectrumTemplate(z=0.8), resum=None), 'corr'
+    if name == 'ept_xi_resum':
+        from desilike_tpu.theories import EPTTracerCorrelationFunctionMultipoles
+        return EPTTracerCorrelationFunctionMultipoles(
+            ells=(0, 2), s=np.linspace(40., 140., 26),
             template=ShapeFitPowerSpectrumTemplate(z=0.8)), 'corr'
     if name == 'eh99_pk':
         from desilike_tpu.theories import DirectPowerSpectrumTemplate
@@ -76,7 +87,7 @@ def build(name):
 
 FAST = ['damped_bao', 'simple_bao', 'resummed_bao', 'flexible_bao', 'kaiser',
         'eft_kaiser', 'png', 'damped_bao_xi', 'bispectrum', 'eh99_pk']
-SLOW = ['ept', 'tns', 'efttns_fftlog', 'ept_xi']
+SLOW = ['ept', 'tns', 'efttns_fftlog', 'ept_xi', 'ept_resum', 'ept_xi_resum']
 
 
 @pytest.mark.parametrize('name', FAST)

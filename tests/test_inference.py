@@ -77,14 +77,52 @@ def test_profiler_interval():
     assert hi - lo == pytest.approx(2 * np.sqrt(cov[0, 0]), rel=0.1)
 
 
+def test_marching_squares():
+    """Numeric level-set extraction (no matplotlib): closed loop on a known
+    circle, all disjoint segments kept, open paths at the grid boundary."""
+    from desilike_tpu.utils import marching_squares
+    x = np.linspace(-2., 2., 81)
+    y = np.linspace(-2., 2., 81)
+    z = x[:, None] ** 2 + y[None, :] ** 2
+    segs = marching_squares(x, y, z, 1.0)
+    assert len(segs) == 1
+    seg = segs[0]
+    np.testing.assert_allclose(seg[0], seg[-1])  # closed loop
+    r = np.hypot(seg[:, 0], seg[:, 1])
+    np.testing.assert_allclose(r, 1., atol=0.005)
+    # two disjoint wells -> two segments at a level below the saddle
+    z2 = np.minimum((x[:, None] - 1.) ** 2 + y[None, :] ** 2,
+                    (x[:, None] + 1.) ** 2 + y[None, :] ** 2)
+    segs2 = marching_squares(x, y, z2, 0.25)
+    assert len(segs2) == 2
+    for s in segs2:
+        r = np.hypot(np.abs(s[:, 0]) - 1., s[:, 1])
+        np.testing.assert_allclose(r, 0.5, atol=0.005)
+    # contour leaving the grid -> open path (endpoints differ)
+    segs3 = marching_squares(x, y, z, 5.0)
+    assert len(segs3) >= 1
+    assert not np.allclose(segs3[0][0], segs3[0][-1])
+
+
 def test_profiler_contour():
     like = GaussianModel()
     prof = ScipyProfiler(like)
     prof.maximize(niterations=1)
-    prof.contour('a', 'b', size=7, cl=(1.,))
+    prof.contour('a', 'b', size=15, cl=(1.,))
     cont = prof.profiles.contour[('a', 'b')]
     g = cont['grid'][2]
     assert g.min() == pytest.approx(-2 * prof.profiles.choice()['logposterior'], abs=0.5)
+    # headless (matplotlib-free) paths present and on the analytic 1-sigma
+    # ellipse: chi2(x) - chi2_min == 1 for every path point
+    paths = prof.profiles.contour_paths(('a', 'b'))
+    assert 1.0 in paths and len(paths[1.0]) >= 1
+    best = prof.profiles.choice()
+    cov = analytic_cov()
+    prec = np.linalg.inv(cov)
+    for x, y in paths[1.0]:
+        dx = np.stack([np.asarray(x) - best['a'], np.asarray(y) - best['b']])
+        d2 = np.einsum('ip,ij,jp->p', dx, prec, dx)
+        np.testing.assert_allclose(d2, 1., atol=0.08)
 
 
 def test_pipeline_profile_speed():
