@@ -33,6 +33,36 @@ def gelman_rubin(chains, method='diag', check_valid='ignore'):
     raise ValueError(method)
 
 
+def gelman_rubin_statistic(chains, statistic):
+    """R-hat-style criterion for an arbitrary per-chain statistic (e.g.
+    confidence-interval edges), with the within-chain sample variance as the
+    dispersion proxy — the reference's ``statistic=`` Gelman-Rubin path
+    (reference diagnostics.py:13, used by check()'s CL-interval test).
+
+    chains: (nchains, nsteps, ndim); statistic: (nsteps, ndim) -> (ndim,).
+    Returns per-dimension sqrt(1 + (m+1)/m * B/W).
+    """
+    chains = np.asarray([np.atleast_2d(c) for c in chains], dtype='f8')
+    nchains = chains.shape[0]
+    if nchains < 2:
+        raise ValueError('need >= 2 chains')
+    stats = np.asarray([statistic(c) for c in chains])   # (nchains, ndim)
+    W = np.mean([np.var(c, axis=0, ddof=1) for c in chains], axis=0)
+    B = np.var(stats, axis=0, ddof=1)
+    return np.sqrt(1. + (nchains + 1.) / nchains * B / np.maximum(W, 1e-300))
+
+
+def geweke_pvalue(zscores):
+    """Normality p-value of a set of Geweke z-scores (converged chains give
+    z ~ N(0,1); reference samplers/base.py:616 normaltest)."""
+    from scipy import stats
+    z = np.ravel(np.asarray(zscores, dtype='f8'))
+    try:
+        return float(stats.normaltest(z).pvalue)
+    except ValueError:
+        return np.nan
+
+
 def autocorrelation(x):
     """Normalized autocorrelation function via FFT; x: (nsteps,) or (nchains, nsteps)."""
     x = np.atleast_2d(np.asarray(x, dtype='f8'))
