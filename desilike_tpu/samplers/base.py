@@ -17,6 +17,36 @@ from ..samples.chain import Chain
 from ..parameters import ParameterCollection
 
 
+class Diagnostics(dict):
+    """History of convergence quantities across check() calls, with
+    ``stable_over`` semantics (reference samplers/base.py:671): each key
+    maps to the per-check list of values; '<key>_test' tracks pass/fail
+    and a criterion only counts as met once it has held for the last
+    ``stable_over`` consecutive checks."""
+
+    def add(self, key, value):
+        self.setdefault(key, []).append(value)
+        return value
+
+    def is_stable(self, key, stable_over=1):
+        vals = self.get(key, [])
+        return len(vals) >= stable_over and all(bool(v) for v in vals[-stable_over:])
+
+    def add_test(self, key, value, low=None, high=None, stable_over=1):
+        """Record value + threshold test; returns the stable_over verdict.
+        With no threshold set the quantity is recorded and passes."""
+        self.add(key, value)
+        if low is None and high is None:
+            return True
+        test = np.isfinite(value)
+        if low is not None:
+            test &= value > low
+        if high is not None:
+            test &= value < high
+        self.add(key + '_test', bool(test))
+        return self.is_stable(key + '_test', stable_over=stable_over)
+
+
 class BasePosteriorSampler(BaseClass):
     """Common machinery: flat-vector posterior, ref-distribution starts."""
 
@@ -36,6 +66,7 @@ class BasePosteriorSampler(BaseClass):
         self._resume_chain = chains if isinstance(chains, Chain) else (Chain.load(chains) if chains else None)
         self.mesh = mesh
         self.diagnostics = {}
+        self.diagnostics_history = Diagnostics()
 
     def _cached_jit(self, key, builder):
         """Per-sampler cache of jitted kernels: every run() rebuilds its
@@ -166,32 +197,106 @@ class BasePosteriorSampler(BaseClass):
         return chain
 
     def sample(self, max_iterations=10000, check_every=500, min_iterations=1000,
-               max_gr=1.05, min_ess=200, thin=1, **run_kwargs):
+               max_gr=1.05, min_ess=200, thin=1, check=None, **run_kwargs):
         """Batch loop with convergence checking (reference
         BaseBatchPosteriorSampler.run, samplers/base.py:409): run
         ``check_every`` steps at a time, concatenating chains, until
-        Gelman-Rubin/ESS converge or max_iterations is reached."""
+        the check() suite converges or max_iterations is reached. ``check``
+        forwards extra criteria (max_geweke, max_cl_gr, max_dact,
+        stable_over, ...) to :meth:`check`."""
         chain = None
         done = 0
+        check = dict(check or {})
         while done < max_iterations:
             n = min(check_every, max_iterations - done)
             new = self.run(nsteps=n, thin=thin, resume=done > 0, **run_kwargs)
             chain = new if chain is None else type(new).concatenate([chain, new], axis=0)
             done += n
-            if done >= min_iterations and self.check(chain, max_gr=max_gr, min_ess=min_ess):
+            if done >= min_iterations and self.check(chain, max_gr=max_gr, min_ess=min_ess, **check):
                 break
         if self.save_fn:
             chain.save(self.save_fn)
         return chain
 
-    def check(self, chain, params=None, max_gr=1.03, min_ess=100):
-        """Convergence check: Gelman-Rubin + ESS (reference samplers/base.py:504)."""
+    def check(self, chain, params=None, max_gr=1.03, min_ess=100, burnin=0.5,
+              nsplits=2, stable_over=1, max_eigen_gr=None, max_cl_gr=None,
+              nsigmas_cl=1., max_geweke=None, min_geweke_pvalue=None,
+              max_dact=None):
+        """Convergence check suite (reference samplers/base.py:504-726).
+
+        Always run: split-chain diagonal Gelman-Rubin (< ``max_gr``) and
+        min ESS over params (> ``min_ess``). Opt-in (set the threshold):
+
+        - ``max_eigen_gr``: multivariate (eigenvalue) GR < threshold,
+        - ``max_cl_gr``: GR of the ``nsigmas_cl``-sigma interval EDGES <
+          threshold — catches chains whose means agree but whose tails are
+          still growing,
+        - ``max_geweke``: max |Geweke z| over params and chains < threshold
+          — catches within-segment drift that split-GR + ESS miss,
+        - ``min_geweke_pvalue``: normality p-value of the z-scores,
+        - ``max_dact``: max relative change of the per-param integrated
+          autocorrelation time since the previous check() < threshold
+          (IAT stability window).
+
+        Every quantity and its pass/fail is appended to
+        ``self.diagnostics_history`` (a :class:`Diagnostics` dict of
+        per-check lists); with ``stable_over=n`` each criterion must hold
+        for the last ``n`` consecutive checks. Returns the combined bool;
+        ``self.diagnostics`` keeps the latest values for quick access.
+        """
+        from ..samples import diagnostics as diag
         params = params or self.names
-        burned = chain.remove_burnin(0.5)
-        gr = burned.gelman_rubin(params) if np.ndim(burned[params[0]]) > 1 and burned[params[0]].shape[1] > 1 else np.array([1.])
-        ess = min(burned.effective_sample_size(p) for p in params)
+        D = self.diagnostics_history
+        burned = chain.remove_burnin(burnin)
+        # (nchains * nsplits, nsub, ndim) split-chain stack
+        arr = np.stack([np.asarray(burned[p], dtype='f8') for p in params], axis=-1)
+        if arr.ndim == 2:
+            arr = arr[:, None]
+        pc = np.moveaxis(arr, 0, 1)              # (nchains, nsteps, ndim)
+        nsub = pc.shape[1] // nsplits
+        splits = np.concatenate([pc[:, i * nsub:(i + 1) * nsub] for i in range(nsplits)], axis=0)
+
+        ok = True
+        gr = np.asarray(diag.gelman_rubin(splits, method='diag'))
         self.diagnostics['gelman_rubin'] = gr
+        ok &= D.add_test('diag_gr', float(gr.max()), high=max_gr, stable_over=stable_over)
+        if max_eigen_gr is not None:
+            try:
+                egr = float(diag.gelman_rubin(splits, method='eigen'))
+            except np.linalg.LinAlgError:
+                egr = np.nan
+            ok &= D.add_test('eigen_gr', egr, high=max_eigen_gr, stable_over=stable_over)
+        if max_cl_gr is not None:
+            from scipy import stats as sps
+            qs = sps.norm.cdf([-nsigmas_cl, nsigmas_cl])
+            cl_gr = max(
+                float(np.max(diag.gelman_rubin_statistic(
+                    splits, lambda c, q=q: np.quantile(c, q, axis=0)))) for q in qs)
+            ok &= D.add_test('cl_gr', cl_gr, high=max_cl_gr, stable_over=stable_over)
+        iact = np.array([diag.integrated_autocorrelation_time(pc[..., i])
+                         for i in range(pc.shape[-1])])
+        D.add('iact', iact)
+        # Geweke z-scores use an iid standard error; correct by sqrt(IAT) so
+        # converged-but-autocorrelated chains read ~N(0, 1) (the normality
+        # p-value below is scale-free and needs no correction)
+        zscores = np.concatenate([
+            np.atleast_1d(diag.geweke(pc[..., i], first=0.1, last=0.5))
+            / np.sqrt(max(float(iact[i]), 1.)) for i in range(pc.shape[-1])])
+        self.diagnostics['geweke'] = float(np.max(np.abs(zscores)))
+        if max_geweke is not None:
+            ok &= D.add_test('geweke', self.diagnostics['geweke'],
+                             high=max_geweke, stable_over=stable_over)
+        if min_geweke_pvalue is not None:
+            ok &= D.add_test('geweke_pvalue', diag.geweke_pvalue(zscores),
+                             low=min_geweke_pvalue, stable_over=stable_over)
+        ess = float(pc.shape[0] * pc.shape[1] / max(float(iact.max()), 1.))
         self.diagnostics['ess'] = ess
-        converged = bool(np.all(np.asarray(gr) < max_gr)) and ess > min_ess
+        ok &= D.add_test('ess', ess, low=min_ess, stable_over=stable_over)
+        if max_dact is not None:
+            hist = D['iact']
+            dact = (float(np.max(np.abs(hist[-2] / iact - 1.)))
+                    if len(hist) >= 2 else np.inf)
+            ok &= D.add_test('dact', dact, high=max_dact, stable_over=stable_over)
+        converged = bool(ok)
         self.diagnostics['converged'] = converged
         return converged
