@@ -160,7 +160,8 @@ def read_camspec_data(data_dir, select_blocks=ALL_BLOCKS):
     """Load the real NPIPE 12.6 files (reference camspec.py:34-79 layout):
     like_NPIPE_12.6_unified_spectra.txt / _data_ranges.txt / _cov.bin.
     Returns the dict consumed by ``initialize(data=...)``."""
-    spectra_tab = np.loadtxt(os.path.join(data_dir, 'like_NPIPE_12.6_unified_spectra.txt'))
+    spectra_tab = np.loadtxt(os.path.join(data_dir, 'like_NPIPE_12.6_unified_spectra.txt'),
+                             ndmin=2)
     ells, spectra, masks = {}, {}, []
     with open(os.path.join(data_dir, 'like_NPIPE_12.6_unified_data_ranges.txt'),
               encoding='utf-8-sig') as fh:
@@ -179,6 +180,30 @@ def read_camspec_data(data_dir, select_blocks=ALL_BLOCKS):
     n = mask.size
     cov = cov.reshape(n, n)[np.ix_(mask, mask)].astype('f8')
     return {'ells': ells, 'spectra': spectra, 'covariance': cov}
+
+
+def write_camspec_data(data_dir, data):
+    """Write the NPIPE 12.6 unified file layout (inverse of
+    :func:`read_camspec_data`): spectra table indexed by multipole with one
+    column per block, the data-ranges text file, and the float32 covariance
+    binary. Used to exercise the real-file reader on synthetic fixtures in
+    a zero-egress environment (reference layout: camspec.py:34-79)."""
+    blocks = [b for b in ALL_BLOCKS if len(data['ells'].get(b, ())) > 0]
+    nrows = max(int(np.max(data['ells'][b])) for b in blocks) + 1
+    tab = np.zeros((nrows, len(blocks)))
+    lines = []
+    for icol, block in enumerate(blocks):
+        ell = np.asarray(data['ells'][block], dtype='i8')
+        lo, hi = int(ell[0]), int(ell[-1])
+        if not np.array_equal(ell, np.arange(lo, hi + 1)):
+            raise ValueError('NPIPE layout requires contiguous ell ranges (block {})'.format(block))
+        tab[lo:hi + 1, icol] = np.asarray(data['spectra'][block], dtype='f8')
+        lines.append('{} {:d} {:d}'.format(block, lo, hi))
+    np.savetxt(os.path.join(data_dir, 'like_NPIPE_12.6_unified_spectra.txt'), tab)
+    with open(os.path.join(data_dir, 'like_NPIPE_12.6_unified_data_ranges.txt'), 'w') as fh:
+        fh.write('\n'.join(lines) + '\n')
+    np.asarray(data['covariance'], dtype=np.float32).tofile(
+        os.path.join(data_dir, 'like_NPIPE_12.6_unified_cov.bin'))
 
 
 def synthetic_camspec_data(cl_tables, noise=1., seed=42,
