@@ -451,6 +451,28 @@ def _train_cl_emulator_fixture():
     return names, weights, lmax
 
 
+def test_cl_emulator_golden():
+    """Frozen golden for the emulated-Cl inference path (VERDICT r3 next
+    #10): weights trained once and committed; any refactor of the node
+    grid, D_ell scaling, normalization, or MLP forward that changes the
+    predicted C_ell fails here. Regenerate (deliberately) with the snippet
+    in the git history of tests/data/golden_cl_emulator_weights.npz."""
+    import os
+    from desilike_tpu.likelihoods.cmb import cl_emulator as cle
+    from desilike_tpu.cosmology.emulator import load_weights
+    data_dir = os.path.join(os.path.dirname(__file__), 'data')
+    weights = load_weights(os.path.join(data_dir, 'golden_cl_emulator_weights.npz'))
+    frozen = np.load(os.path.join(data_dir, 'golden_cl_emulator_out.npz'))
+    cls = cle.predict_cls(weights, jnp.asarray(frozen['theta']))
+    assert set(cls) == {'tt', 'ee'}
+    for xy, got in cls.items():
+        ref = frozen[xy]
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(np.asarray(got, dtype='f8'), ref,
+                                   atol=2e-5 * scale, rtol=2e-5,
+                                   err_msg='emulated-Cl drift in ' + xy)
+
+
 def test_cl_emulator_end_to_end(tmp_path):
     """Emulated-Cl engine: accuracy, ClTheory integration, likelihood peak,
     gradients, IO round-trip."""

@@ -64,12 +64,20 @@ def test_background_resolve_is_device_free():
 
 
 def test_bench_build_phase_completes_on_cpu():
-    """The bench's build phase is pure host work: it must run to completion
-    with no TPU available (JAX_PLATFORMS=cpu, as in this suite)."""
+    """Ratchet (VERDICT r3 next #10): the bench's build phase is pure host
+    work. With the ambient default device standing in for the remote TPU
+    and device-to-device transfers disallowed, the full flagship build must
+    run to completion — any init-time op dispatched to the ambient device
+    (the round-3 bench killer) would either land state off cpu:0 or force
+    a cross-device transfer when host-pinned work consumes it; both raise
+    here."""
     import sys
     import os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
-    fn, values, batch = bench.build()
+    devices = jax.devices()
+    with jax.default_device(devices[5]), \
+            jax.transfer_guard_device_to_device('disallow'):
+        fn, values, batch = bench.build()
     assert batch == 4096
     assert values and all(isinstance(v, np.ndarray) for v in values.values())
