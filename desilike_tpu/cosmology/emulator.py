@@ -28,9 +28,20 @@ Workflow (production)
 3. ``train_pk_emulator`` on the tables -> weights archive;
 4. ``Cosmology(engine='emulator', emulator='weights.npz')``.
 
-The test suite exercises the identical loop with the EH99 neutrino
-suppression standing in for the CLASS/EH98 ratio (a realistic smooth few-%
-correction), pinning the sub-0.1% accuracy claim.
+What the suite establishes (and what it cannot)
+-----------------------------------------------
+``tests/test_boltzmann_emulator.py`` exercises the identical loop against
+two synthetic truths: (a) the EH99 neutrino suppression — a realistic
+smooth few-% correction — reaching <5e-4 held-out pk error; and (b) a
+wiggle-bearing truth whose sound horizon is shifted by a parameter-
+dependent ~1.5% so the ln-ratio oscillates through the BAO band with
+parameter-dependent phase (the hardest feature of a real CLASS/EH98
+ratio), reaching <1.5e-3 held-out error at the PRODUCTION default k-grid
+density. That validates the pipeline, the k-grid/node choices, and the
+network capacity on both the smooth and the oscillatory regime — but a
+literal "sub-0.1% vs CLASS" statement can only be certified by training
+on CLASS tables from a Boltzmann-equipped host (step 2 below) and reading
+``weights['holdout_err']``.
 """
 
 import json
