@@ -178,6 +178,14 @@ def build_foregrounds(mode, frequencies, lmax, templates=None):
     dust_f = pairs(FREQ_EFF['dust'])
     if dust_key in templates:
         shape = np.asarray(templates[dust_key], dtype='f8')[:, :lmax + 1]
+        if shape.shape[0] != nxspec:
+            # per-cross-FREQUENCY columns (the real DUST_Planck_PR4 file
+            # layout, ref hillipop.py:270-276): expand to cross-spectra by
+            # frequency-pair lookup
+            freqs_u = sorted(set(frequencies))
+            xfreq_pairs = [(f1, f2) for i, f1 in enumerate(freqs_u) for f2 in freqs_u[i:]]
+            idx = [xfreq_pairs.index(tuple(sorted(p))) for p in xfreqs]
+            shape = shape[idx]
     else:
         # fallback: steep power law with the galactic TT/EE/TE hierarchy
         amp = {'TT': 1., 'EE': 0.02, 'TE': 0.1, 'ET': 0.1}[mode]
@@ -444,3 +452,214 @@ class EEHighlPlanck2020HillipopLikelihood(BaseHillipopLikelihood):
 class TEHighlPlanck2020HillipopLikelihood(BaseHillipopLikelihood):
     modes = ('TE',)
     name = 'TEHighlPlanck2020Hillipop'
+
+
+# --------------------------------------------------------------------------
+# Real Planck PR4 (v4.2) file layout: reader + writer
+#
+# The reference reads these products with fitsio (ref hillipop.py:640-706):
+#   data/binning_v4.2.fits                      BINTABLE per mode: header
+#                                               'SPEC', columns LMIN/LMAX per
+#                                               cross-SPECTRUM (nxspec=15)
+#   data/dl_PR4_v4.2_{mA}x{mB}.fits             image ext 1: (>=4, lmax+1)
+#                                               D_ell in K^2, rows TT/EE/BB/TE;
+#                                               ext 2: same-layout sigma;
+#                                               the reversed {mB}x{mA} file's
+#                                               row 3 is the ET spectrum
+#   data/invfll_PR4_v4.2_{MODES}.fits           image: flat (n*n,) inverse
+#                                               covariance in K^-4
+#   foregrounds/DUST_Planck_PR4_model_v4.2_{mode}.txt   columns: ell + one per
+#                                               cross-frequency (6)
+#   foregrounds/{SZ,kSZ,CIB,SZxCIB}_Planck_PR4_model.txt  columns: ell, D_ell
+#                                               (normalized at ell=3000 on read)
+#
+# Here the same layouts go through the in-repo minimal FITS codec
+# (desilike_tpu/io_fits.py) so the real-product code path is exercised in a
+# zero-egress container; the writer produces byte-layout-faithful fixtures.
+
+DUST_XFREQ_COLUMNS = ('100x100', '100x143', '100x217', '143x143', '143x217', '217x217')
+_SCALAR_TEMPLATES = {'tsz': 'SZ_Planck_PR4_model.txt',
+                     'ksz': 'kSZ_Planck_PR4_model.txt',
+                     'cib': 'CIB_Planck_PR4_model.txt',
+                     'szxcib': 'SZxCIB_Planck_PR4_model.txt'}
+
+
+def _xspec_maps(frequencies):
+    freqs = sorted(set(frequencies))
+    xfreq_pairs = [(f1, f2) for i, f1 in enumerate(freqs) for f2 in freqs[i:]]
+    xspec_pairs = list(itertools.combinations(range(len(frequencies)), 2))
+    xspec2xfreq = [xfreq_pairs.index(tuple(sorted((frequencies[m1], frequencies[m2]))))
+                   for m1, m2 in xspec_pairs]
+    return xspec_pairs, xspec2xfreq, len(xfreq_pairs)
+
+
+def _read_dl_template_txt(filename, lmax, lnorm=3000):
+    """(ell, D_ell) text template -> dense (lmax+1,), normalized at lnorm
+    (reference hillipop.py:115-134)."""
+    ell, data = np.loadtxt(filename, unpack=True)
+    ell = np.asarray(ell, dtype='i8')
+    t = np.zeros(max(lmax, int(ell.max())) + 1)
+    t[ell] = data
+    # real PR4 templates extend past lnorm; small-lmax fixtures don't --
+    # skip the normalization rather than divide by an absent/zero bin
+    if lnorm is not None and lnorm < len(t) and t[lnorm] != 0:
+        t = t / t[lnorm]
+    return t[:lmax + 1]
+
+
+def read_hillipop_data(data_dir, modes=('TT', 'EE', 'TE'), version='v4.2',
+                       frequencies=(100, 100, 143, 143, 217, 217),
+                       mapnames=('100A', '100B', '143A', '143B', '217A', '217B')):
+    """Load the real Planck PR4 hillipop products; returns the dict consumed
+    by ``BaseHillipopLikelihood(data=...)``. ``modes`` must match the
+    inverse-covariance file's mode suffix (e.g. TT/EE/TE -> TTTEEE)."""
+    import os
+    from ... import io_fits
+
+    _, xspec2xfreq, nxfreq = _xspec_maps(frequencies)
+
+    # multipole ranges: per-xspec in the file, per-xfreq in the data dict
+    # (the reference itself only ever uses the first xspec of each xfreq,
+    # ref hillipop.py:728-729)
+    lmins, lmaxs = {}, {}
+    fn = os.path.join(data_dir, 'data', 'binning_{}.fits'.format(version))
+    for hdu in io_fits.hdus(fn)[1:]:
+        hdr = hdu.read_header()
+        tag = str(hdr.get('SPEC', hdr.get('spec', ''))).strip()
+        first = [xspec2xfreq.index(xf) for xf in range(nxfreq)]
+        lmins[tag] = np.asarray(hdu['LMIN'], dtype='i8')[first]
+        lmaxs[tag] = np.asarray(hdu['LMAX'], dtype='i8')[first]
+    lmax = int(max(v.max() for v in lmaxs.values()))
+
+    # cross-spectra + weights: one file per ordered half-mission map pair
+    basename = os.path.join(data_dir, 'data', 'dl_PR4_{}'.format(version))
+    dldata = {m: [] for m in ('TT', 'EE', 'TE', 'ET')}
+    dlsig = {m: [] for m in ('TT', 'EE', 'TE', 'ET')}
+    for m1, m2 in itertools.combinations(mapnames, 2):
+        for ext, dest in ((1, dldata), (2, dlsig)):
+            fwd = io_fits.read('{}_{}x{}.fits'.format(basename, m1, m2), ext=ext) * 1e12
+            rev = io_fits.read('{}_{}x{}.fits'.format(basename, m2, m1), ext=ext) * 1e12
+            dest['TT'].append(fwd[0, :lmax + 1])
+            dest['EE'].append(fwd[1, :lmax + 1])
+            dest['TE'].append(fwd[3, :lmax + 1])
+            dest['ET'].append(rev[3, :lmax + 1])
+    dldata = {m: np.asarray(v) for m, v in dldata.items()}
+    dlweight = {}
+    for m, v in dlsig.items():
+        sig = np.asarray(v)
+        sig[sig == 0] = np.inf  # zero sigma marks unmeasured bins (ref :516)
+        dlweight[m] = 1. / sig ** 2
+
+    fn = os.path.join(data_dir, 'data',
+                      'invfll_PR4_{}_{}.fits'.format(version, ''.join(modes)))
+    invcov = np.asarray(io_fits.read(fn), dtype='f8').reshape(-1)
+    n = int(round(np.sqrt(invcov.size)))
+    invcov = invcov.reshape(n, n) / 1e24  # K^-4 -> muK^-4
+
+    templates = {}
+    fgdir = os.path.join(data_dir, 'foregrounds')
+    for mode in ('TT', 'EE', 'TE'):
+        fn = os.path.join(fgdir, 'DUST_Planck_PR4_model_{}_{}.txt'.format(version, mode))
+        if os.path.exists(fn):
+            tab = np.loadtxt(fn).T
+            ell = np.asarray(tab[0], dtype='i8')
+            dust = np.zeros((len(DUST_XFREQ_COLUMNS), max(lmax, int(ell.max())) + 1))
+            for xf in range(len(DUST_XFREQ_COLUMNS)):
+                dust[xf, ell] = tab[1 + xf]
+            templates['dust_' + mode] = dust[:, :lmax + 1]
+    for key, base in _SCALAR_TEMPLATES.items():
+        fn = os.path.join(fgdir, base)
+        if os.path.exists(fn):
+            templates[key] = _read_dl_template_txt(fn, lmax)
+
+    out = {'dldata': {m: dldata[m] for m in set(modes) | ({'TE', 'ET'} if 'TE' in modes else set())},
+           'dlweight': {m: dlweight[m] for m in set(modes) | ({'TE', 'ET'} if 'TE' in modes else set())},
+           'lmins': lmins, 'lmaxs': lmaxs, 'invcov': invcov,
+           'frequencies': tuple(frequencies), 'mapnames': tuple(mapnames)}
+    if templates:
+        out['templates'] = templates
+    return out
+
+
+def write_hillipop_data(data_dir, data, version='v4.2', modes=('TT', 'EE', 'TE')):
+    """Write the Planck PR4 hillipop file layout (inverse of
+    :func:`read_hillipop_data`) — fixture generator for exercising the
+    real-product readers without network access."""
+    import os
+    from ... import io_fits
+
+    frequencies = tuple(data.get('frequencies', (100, 100, 143, 143, 217, 217)))
+    mapnames = tuple(data.get('mapnames', ('100A', '100B', '143A', '143B', '217A', '217B')))
+    xspec_pairs, xspec2xfreq, nxfreq = _xspec_maps(frequencies)
+    os.makedirs(os.path.join(data_dir, 'data'), exist_ok=True)
+    os.makedirs(os.path.join(data_dir, 'foregrounds'), exist_ok=True)
+
+    dldata = {m: np.asarray(v, dtype='f8') for m, v in data['dldata'].items()}
+    if 'ET' not in dldata and 'TE' in dldata:
+        dldata['ET'] = dldata['TE']
+    lmax = max(v.shape[1] - 1 for v in dldata.values())
+    default_w = {m: np.ones_like(v) for m, v in dldata.items()}
+    dlweight = {m: np.asarray(v, dtype='f8')
+                for m, v in data.get('dlweight', default_w).items()}
+    if 'ET' not in dlweight and 'TE' in dlweight:
+        dlweight['ET'] = dlweight['TE']
+
+    # binning: broadcast the per-xfreq ranges back to every xspec
+    tables = []
+    for mode in modes:
+        lmin_xf = np.asarray(data['lmins'][mode], dtype='i8')
+        lmax_xf = np.asarray(data['lmaxs'][mode], dtype='i8')
+        tables.append(io_fits.Hdu(
+            columns={'LMIN': lmin_xf[xspec2xfreq], 'LMAX': lmax_xf[xspec2xfreq]},
+            header={'SPEC': mode}))
+    io_fits.write(os.path.join(data_dir, 'data', 'binning_{}.fits'.format(version)),
+                  tables)
+
+    basename = os.path.join(data_dir, 'data', 'dl_PR4_{}'.format(version))
+
+    def spectra_image(xs, te_mode):
+        img = np.zeros((4, lmax + 1))
+        img[0] = dldata['TT'][xs] if 'TT' in dldata else 0.
+        img[1] = dldata['EE'][xs] if 'EE' in dldata else 0.
+        img[3] = dldata[te_mode][xs] if te_mode in dldata else 0.
+        return img * 1e-12  # muK^2 -> K^2 on disk
+
+    def sigma_image(xs, te_mode):
+        img = np.zeros((4, lmax + 1))
+        for row, m in ((0, 'TT'), (1, 'EE'), (3, te_mode)):
+            if m in dlweight:
+                w = dlweight[m][xs]
+                img[row] = np.where(w > 0, 1. / np.sqrt(np.maximum(w, 1e-300)), 0.)
+        return img * 1e-12
+
+    for xs, (m1, m2) in enumerate(itertools.combinations(mapnames, 2)):
+        io_fits.write('{}_{}x{}.fits'.format(basename, mapnames[xspec_pairs[xs][0]],
+                                             mapnames[xspec_pairs[xs][1]]),
+                      [io_fits.Hdu(), io_fits.Hdu(data=spectra_image(xs, 'TE')),
+                       io_fits.Hdu(data=sigma_image(xs, 'TE'))])
+        io_fits.write('{}_{}x{}.fits'.format(basename, mapnames[xspec_pairs[xs][1]],
+                                             mapnames[xspec_pairs[xs][0]]),
+                      [io_fits.Hdu(), io_fits.Hdu(data=spectra_image(xs, 'ET')),
+                       io_fits.Hdu(data=sigma_image(xs, 'ET'))])
+
+    invcov = np.asarray(data['invcov'], dtype='f8') * 1e24
+    io_fits.write(os.path.join(data_dir, 'data',
+                               'invfll_PR4_{}_{}.fits'.format(version, ''.join(modes))),
+                  [io_fits.Hdu(data=invcov.reshape(-1))])
+
+    templates = data.get('templates') or {}
+    ell = np.arange(lmax + 1)
+    for mode in modes:
+        key = 'dust_' + ('TE' if mode == 'ET' else mode)
+        if key in templates:
+            dust = np.asarray(templates[key], dtype='f8')
+            tab = np.column_stack([ell] + [dust[xf, :lmax + 1]
+                                           for xf in range(dust.shape[0])])
+            np.savetxt(os.path.join(
+                data_dir, 'foregrounds',
+                'DUST_Planck_PR4_model_{}_{}.txt'.format(version, mode)), tab)
+    for key, base in _SCALAR_TEMPLATES.items():
+        if key in templates:
+            t = np.asarray(templates[key], dtype='f8')
+            np.savetxt(os.path.join(data_dir, 'foregrounds', base),
+                       np.column_stack([ell[:len(t)], t]))

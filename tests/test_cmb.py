@@ -263,6 +263,73 @@ def test_hillipop_zero_foregrounds_truth():
     assert float(like.loglikelihood) < lp_zero - 1.
 
 
+def test_hillipop_real_file_roundtrip(tmp_path):
+    """Exercise the real Planck PR4 v4.2 file readers: write the synthetic
+    fixture through write_hillipop_data (binning/binned-spectra/invcov FITS
+    via the in-repo codec + foreground txt templates), read it back through
+    read_hillipop_data, and require the file-fed likelihood to match the
+    in-memory one (same ratchet as the CamSpec NPIPE round-trip)."""
+    from desilike_tpu.likelihoods.cmb.hillipop import (read_hillipop_data,
+                                                       write_hillipop_data)
+    # compact variant of hillipop_fixture: the full fixture's dense invcov
+    # (15318^2) is ~1.9 GB — too large to round-trip through a file
+    lmax, nxspec, nxfreq = 200, 15, 6
+    ells = np.arange(lmax + 1).astype('f8')
+    fac = ells * (ells + 1) / (2 * np.pi) * MUK2
+    dlth = {m: TABLES[m.lower()][:lmax + 1] * fac for m in ('TT', 'EE', 'TE')}
+    flat = np.concatenate([dlth[m][50:181] for m in ('TT', 'EE', 'TE')
+                           for _ in range(nxfreq)])
+    data = dict(dldata={m: np.tile(dlth[m], (nxspec, 1)) for m in ('TT', 'EE', 'TE')},
+                lmins={m: np.full(nxfreq, 50) for m in ('TT', 'EE', 'TE')},
+                lmaxs={m: np.full(nxfreq, 180) for m in ('TT', 'EE', 'TE')},
+                invcov=np.diag(1. / (1e-4 * np.abs(flat) + 1e-3) ** 2))
+    rng = np.random.default_rng(3)
+    # non-trivial weights (round-trip through the sigma HDU, incl. w=0 bins)
+    data['dlweight'] = {m: 1. + rng.random(data['dldata'][m].shape)
+                        for m in data['dldata']}
+    for m in data['dlweight']:
+        data['dlweight'][m][:, :2] = 0.
+    # foreground templates exercising both txt layouts
+    data['templates'] = {
+        'dust_TT': rng.random((nxfreq, lmax + 1)),
+        'tsz': rng.random(lmax + 1),
+        'ksz': rng.random(lmax + 1),
+    }
+    write_hillipop_data(str(tmp_path), data)
+    read = read_hillipop_data(str(tmp_path))
+
+    # the reader trims to max(lmaxs) (reference behavior: hillipop.py:679)
+    nl = int(read['lmaxs']['TT'].max()) + 1
+    for m in data['dldata']:
+        np.testing.assert_allclose(read['dldata'][m], data['dldata'][m][:, :nl],
+                                   rtol=1e-12, err_msg=m)
+        np.testing.assert_allclose(read['dlweight'][m], data['dlweight'][m][:, :nl],
+                                   rtol=1e-12, err_msg=m)
+    for m in ('TT', 'EE', 'TE'):
+        assert np.array_equal(read['lmins'][m], data['lmins'][m])
+        assert np.array_equal(read['lmaxs'][m], data['lmaxs'][m])
+    np.testing.assert_allclose(read['invcov'], data['invcov'], rtol=1e-12)
+    for key in data['templates']:
+        np.testing.assert_allclose(read['templates'][key],
+                                   np.asarray(data['templates'][key])[..., :nl],
+                                   rtol=1e-12, err_msg=key)
+
+    # likelihood equality at a foregrounds-on point
+    values = dict(A_planck=1., Aradio=10., Adusty=1., Acib=2., beta_cib=1.75,
+                  Atsz=1., Aksz=1., xi=0.1, AdustT=0.5, beta_dustT=1.51,
+                  AdustP=0.5, beta_dustP=1.59)
+    values.update({'cal' + m: 1. for m in ('100A', '100B', '143A', '143B', '217A', '217B')})
+    values.update({'pe' + m: 1. for m in ('100A', '100B', '143A', '143B', '217A', '217B')})
+    like_mem = TTTEEEHighlPlanck2020HillipopLikelihood(
+        theory=ClTheory(tables=TABLES), data=data)
+    run_once(like_mem, values)
+    like_file = TTTEEEHighlPlanck2020HillipopLikelihood(
+        theory=ClTheory(tables=TABLES), data=read)
+    run_once(like_file, values)
+    assert float(like_file.loglikelihood) == pytest.approx(
+        float(like_mem.loglikelihood), rel=1e-5, abs=1e-3)
+
+
 def test_hillipop_calibration_direction():
     data, _ = hillipop_fixture()
     like = TTTEEEHighlPlanck2020HillipopLikelihood(theory=ClTheory(tables=TABLES), data=data)
