@@ -4,7 +4,8 @@ from .base import FisherGaussianLikelihood
 from .external import (BaseBBNLikelihood, Schoneberg2024BBNLikelihood,
                        H0Likelihood, Riess2020H0Likelihood, MbLikelihood, Riess2020MbLikelihood,
                        CMBDistancePriorLikelihood)
-from .supernovae import (BaseSNLikelihood, PantheonLikelihood, PantheonPlusLikelihood,
-                         Union3Likelihood, DESY5SNLikelihood)
+from .supernovae import (BaseSNLikelihood, PantheonSNLikelihood, PantheonPlusSNLikelihood,
+                         PantheonPlusSHOESSNLikelihood, Union3SNLikelihood, DESY5SNLikelihood,
+                         PantheonLikelihood, PantheonPlusLikelihood, Union3Likelihood)
 from . import cmb
 from .galaxy_clustering import SNWeightedPowerSpectrumLikelihood

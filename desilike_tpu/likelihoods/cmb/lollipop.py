@@ -109,14 +109,17 @@ class LollipopLikelihood(BaseLikelihood):
     _params = dict(BaseLikelihood._params)
     _params.update(_CALIB_PARAMS)
 
-    def initialize(self, theory=None, data=None, mode='lowlEB', fsky=None,
+    def initialize(self, theory=None, data=None, data_dir=None, mode='lowlEB', fsky=None,
                    marginalised_over_covariance=True, **kwargs):
         if mode not in ('lowlE', 'lowlB', 'lowlEB'):
             raise ValueError('mode must be lowlE/lowlB/lowlEB')
         self.mode = mode
         self.marginalised_over_covariance = bool(marginalised_over_covariance)
+        if data is None and data_dir is not None:
+            data = read_lollipop_data(data_dir)
         if data is None:
-            raise ValueError("provide data= {'cl', 'fiducial', 'covariance', ...}")
+            raise ValueError("provide data= {'cl', 'fiducial', 'covariance', ...} "
+                             'or data_dir= with the PR4 lollipop files')
         self.nsim = int(data.get('nsim', 400))
         fsky = float(data.get('fsky', 0.52) if fsky is None else fsky)
 
@@ -225,6 +228,60 @@ class LollipopLikelihood(BaseLikelihood):
             xy = 'ee' if self.mode == 'lowlE' else 'bb'
             chi2 = self._chi2_1field(P @ dl[xy], cal)
         self.loglikelihood = -0.5 * chi2
+
+
+# --------------------------------------------------------------------------
+# Real Planck PR4 (NPIPE) lollipop file layout: reader + writer
+#
+# The reference reads (ref lollipop.py:230-232, 260-273):
+#   cl_lolEB_NPIPE.dat        text columns (ell, EE, BB, EB): measured
+#                             cross-spectrum D_ell
+#   fiducial_lolEB_planck2018_tensor_lensedCls.dat   same layout, fiducial
+#   clcov_lolEB_NPIPE.fits    image: (3 nell, 3 nell) unbinned C_ell
+#                             covariance, (EE, BB, EB) blocks from ell=2
+# The FITS file goes through the in-repo codec (desilike_tpu/io_fits.py).
+
+CL_FILE = 'cl_lolEB_NPIPE.dat'
+FIDUCIAL_FILE = 'fiducial_lolEB_planck2018_tensor_lensedCls.dat'
+CL_COV_FILE = 'clcov_lolEB_NPIPE.fits'
+
+
+def _read_dl_dat(filename):
+    """(ell, EE, BB, EB) text -> dense (3, lmax+1) (reference
+    lollipop.py:118-125)."""
+    data = np.loadtxt(filename).T
+    l = np.asarray(data[0], dtype='i8')
+    dl = np.zeros((3, int(l.max()) + 1))
+    for i in range(3):
+        dl[i, l] = data[1 + i]
+    return dl
+
+
+def read_lollipop_data(data_dir, cl_file=CL_FILE, fiducial_file=FIDUCIAL_FILE,
+                       cl_cov_file=CL_COV_FILE):
+    """Load the real Planck PR4 lollipop products; returns the dict consumed
+    by ``LollipopLikelihood(data=...)``."""
+    from ... import io_fits
+    return dict(cl=_read_dl_dat(os.path.join(data_dir, cl_file)),
+                fiducial=_read_dl_dat(os.path.join(data_dir, fiducial_file)),
+                covariance=np.asarray(io_fits.read(os.path.join(data_dir, cl_cov_file)),
+                                      dtype='f8'))
+
+
+def write_lollipop_data(data_dir, data, cl_file=CL_FILE, fiducial_file=FIDUCIAL_FILE,
+                        cl_cov_file=CL_COV_FILE):
+    """Write the Planck PR4 lollipop file layout (inverse of
+    :func:`read_lollipop_data`) — fixture generator for exercising the
+    real-product readers without network access."""
+    from ... import io_fits
+    os.makedirs(data_dir, exist_ok=True)
+    for key, fn in (('cl', cl_file), ('fiducial', fiducial_file)):
+        dl = np.asarray(data[key], dtype='f8')
+        ell = np.arange(dl.shape[1])
+        np.savetxt(os.path.join(data_dir, fn),
+                   np.column_stack([ell, dl[0], dl[1], dl[2]]))
+    io_fits.write(os.path.join(data_dir, cl_cov_file),
+                  [io_fits.Hdu(data=np.asarray(data['covariance'], dtype='f8'))])
 
 
 class EELowlPlanck2020LollipopLikelihood(LollipopLikelihood):

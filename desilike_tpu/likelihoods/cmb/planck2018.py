@@ -106,21 +106,26 @@ class TTTEEEHighlPlanck2018LiteLikelihood(BasePlanck2018Likelihood, BaseGaussian
             data=flatdata[mask], covariance=covariance[np.ix_(mask, mask)])
 
     @classmethod
-    def load_plik_lite(cls, data_dir):
+    def load_plik_lite(cls, data_dir, nbins=None):
         """Read the plik-lite '_external' clik files (reference
-        planck2018.py:229-240). Needs scipy for the Fortran-record covariance."""
+        planck2018.py:229-240). Needs scipy for the Fortran-record covariance.
+
+        ``nbins`` : per-spectrum bin counts [tt, te, ee]; defaults to the
+        real-release sizes (215, 199, 199). The covariance size is taken
+        from the Fortran record itself."""
         offset = 30
         ellmin = np.loadtxt(os.path.join(data_dir, 'blmin.dat')).astype(int) + offset
         ellmax = np.loadtxt(os.path.join(data_dir, 'blmax.dat')).astype(int) + offset
         weights = np.concatenate([np.zeros(offset), np.loadtxt(os.path.join(data_dir, 'bweight.dat'))])
         from scipy.io import FortranFile
         with FortranFile(os.path.join(data_dir, 'c_matrix_plik_v22.dat'), 'r') as f:
-            nb = sum(cls.nbins_full)
-            cov = f.read_reals(dtype=float).reshape(nb, nb)
+            flat = f.read_reals(dtype=float)
+        nb = int(round(np.sqrt(flat.size)))
+        cov = flat.reshape(nb, nb)
         cov = np.tril(cov) + np.tril(cov, -1).T
         flatdata = np.loadtxt(os.path.join(data_dir, 'cl_cmb_plik_v22.dat'))[:, 1]
         return dict(flatdata=flatdata, covariance=cov, ellmin=ellmin, ellmax=ellmax,
-                    weights=weights, nbins=list(cls.nbins_full))
+                    weights=weights, nbins=list(cls.nbins_full if nbins is None else nbins))
 
     def flattheory(self):
         cal = self._A_planck ** 2
@@ -156,7 +161,7 @@ class TTLowlPlanck2018Likelihood(BasePlanck2018Likelihood):
         self.elllim = tuple(elllim)
         if data is None:
             if data_dir is None:
-                raise ValueError('provide data= arrays or data_dir= with sigma.fits (needs fitsio)')
+                raise ValueError('provide data= arrays or data_dir= with sigma.fits')
             data = self.load_commander(data_dir, self.elllim)
         cl2x = np.asarray(data['cl2x'], dtype='f8')   # (nell, ngrid, 2)
         self._grid = cl2x[..., 0]
@@ -179,19 +184,31 @@ class TTLowlPlanck2018Likelihood(BasePlanck2018Likelihood):
         ells = np.arange(self.elllim[0], self.elllim[1] + 1)
         self.factor = ells * (ells + 1) / 2. / np.pi
         self._set_theory(theory, {'tt': self.elllim[1]})
-        self._offset = None
+        # normalization: loglike(mu_sigma) subtracted per evaluation
+        # (reference planck2018.py:131, calculate :159); skipped when
+        # mu_sigma is absent or lands outside the spline prior range
+        self._offset = 0.
+        mu_sigma = data.get('mu_sigma')
+        if mu_sigma is not None:
+            from ...config import host_eval
+            with host_eval():
+                off = float(self.loglike_of_theory(jnp.asarray(mu_sigma, dtype='f8')))
+            if np.isfinite(off):
+                self._offset = off
 
     @classmethod
     def load_commander(cls, data_dir, elllim=(2, 29)):
-        import fitsio
+        """Read the commander 'sigma.fits' clik product (reference
+        planck2018.py:101-107): ext 0 image (>=2, nell, ngrid) with rows
+        (C_ell grid, x); ext 1 mu; ext 2 covariance; ext 3 mu_sigma."""
+        from ... import io_fits
         fn = os.path.join(data_dir, 'sigma.fits')
         sl = slice(elllim[0] - 2, elllim[1] - 2 + 1)
-        cl2x = fitsio.read(fn, ext=0)[:, sl, :]
-        return dict(cl2x=np.stack([cl2x[0].T, cl2x[1].T], axis=-1).transpose(1, 0, 2)
-                    if cl2x.shape[0] >= 2 else None,
-                    mu=fitsio.read(fn, ext=1)[sl],
-                    covariance=fitsio.read(fn, ext=2)[sl, sl],
-                    mu_sigma=fitsio.read(fn, ext=3)[sl])
+        cl2x = np.asarray(io_fits.read(fn, ext=0), dtype='f8')[:, sl, :]
+        return dict(cl2x=np.stack([cl2x[0], cl2x[1]], axis=-1),
+                    mu=np.asarray(io_fits.read(fn, ext=1), dtype='f8')[sl],
+                    covariance=np.asarray(io_fits.read(fn, ext=2), dtype='f8')[sl, sl],
+                    mu_sigma=np.asarray(io_fits.read(fn, ext=3), dtype='f8')[sl])
 
     def _gauss_x(self, theory):
         """Per-ell x(C_ell) and dx/dC_ell by vmapped piecewise-linear interp."""
@@ -214,7 +231,7 @@ class TTLowlPlanck2018Likelihood(BasePlanck2018Likelihood):
     def calculate(self, A_planck=1., **kw):
         theory = self.theory.cls['tt'][self.elllim[0]:self.elllim[1] + 1] \
             * jnp.asarray(self.factor) / A_planck ** 2
-        self.loglikelihood = self.loglike_of_theory(theory)
+        self.loglikelihood = self.loglike_of_theory(theory) - self._offset
 
 
 class EELowlPlanck2018Likelihood(BasePlanck2018Likelihood):
@@ -234,7 +251,7 @@ class EELowlPlanck2018Likelihood(BasePlanck2018Likelihood):
         self.elllim = tuple(elllim)
         if data is None:
             if data_dir is None:
-                raise ValueError('provide data= arrays or data_dir= with probEE (needs fitsio)')
+                raise ValueError('provide data= arrays or data_dir= with probEE')
             data = self.load_simall(data_dir, self.elllim)
         self._prob = np.asarray(data['prob'], dtype='f8')
         ngrid = self._prob.shape[1]
@@ -245,8 +262,11 @@ class EELowlPlanck2018Likelihood(BasePlanck2018Likelihood):
 
     @classmethod
     def load_simall(cls, data_dir, elllim=(2, 29)):
-        import fitsio
-        prob = fitsio.read(os.path.join(data_dir, 'probEE'), ext=0)
+        """Read the simall 'probEE' clik product (reference
+        planck2018.py:191-198): per-ell log-probability tables on the fixed
+        3000-point D_ell grid, flat on disk."""
+        from ... import io_fits
+        prob = np.asarray(io_fits.read(os.path.join(data_dir, 'probEE'), ext=0), dtype='f8')
         prob = prob.reshape(-1, 3000).T[:, slice(elllim[0] - 2, elllim[1] - 2 + 1)]
         return dict(prob=prob.T)
 
@@ -256,3 +276,64 @@ class EELowlPlanck2018Likelihood(BasePlanck2018Likelihood):
         bins = jnp.asarray(self._bins)
         interp = jax.vmap(lambda cl, prob: jnp.interp(cl, bins, prob, left=-jnp.inf, right=-jnp.inf))
         self.loglikelihood = jnp.sum(interp(theory, jnp.asarray(self._prob)))
+
+
+# --------------------------------------------------------------------------
+# Fixture writers for the real clik file layouts (inverses of the loaders
+# above) — so the real-product code paths are exercised by round-trip tests
+# in a zero-egress container (same ratchet as camspec/hillipop).
+
+def write_plik_lite_data(data_dir, data):
+    """Write the plik-lite '_external' layout read by
+    :meth:`TTTEEEHighlPlanck2018LiteLikelihood.load_plik_lite`: blmin/blmax
+    (bin edges minus the ell=30 offset), bweight (per-ell weights from
+    ell=30), the Fortran-record covariance, and the 3-column binned-Cl
+    text file."""
+    os.makedirs(data_dir, exist_ok=True)
+    offset = 30
+    ellmin = np.asarray(data['ellmin'], dtype='i8')
+    ellmax = np.asarray(data['ellmax'], dtype='i8')
+    weights = np.asarray(data['weights'], dtype='f8')
+    np.savetxt(os.path.join(data_dir, 'blmin.dat'), ellmin - offset, fmt='%d')
+    np.savetxt(os.path.join(data_dir, 'blmax.dat'), ellmax - offset, fmt='%d')
+    np.savetxt(os.path.join(data_dir, 'bweight.dat'), weights[offset:])
+    from scipy.io import FortranFile
+    cov = np.asarray(data['covariance'], dtype='f8')
+    with FortranFile(os.path.join(data_dir, 'c_matrix_plik_v22.dat'), 'w') as f:
+        f.write_record(np.ascontiguousarray(cov))
+    flatdata = np.asarray(data['flatdata'], dtype='f8')
+    np.savetxt(os.path.join(data_dir, 'cl_cmb_plik_v22.dat'),
+               np.column_stack([np.arange(1, len(flatdata) + 1), flatdata,
+                                np.zeros(len(flatdata))]))
+
+
+def write_commander_data(data_dir, data):
+    """Write the commander 'sigma.fits' layout read by
+    :meth:`TTLowlPlanck2018Likelihood.load_commander`: primary image
+    (3, nell, ngrid) with rows (C_ell grid, x, unused), then mu /
+    covariance / mu_sigma image extensions."""
+    from ... import io_fits
+    os.makedirs(data_dir, exist_ok=True)
+    cl2x = np.asarray(data['cl2x'], dtype='f8')          # (nell, ngrid, 2)
+    img = np.stack([cl2x[..., 0], cl2x[..., 1], np.zeros_like(cl2x[..., 0])])
+    mu = np.asarray(data['mu'], dtype='f8')
+    io_fits.write(os.path.join(data_dir, 'sigma.fits'),
+                  [io_fits.Hdu(data=img),
+                   io_fits.Hdu(data=mu),
+                   io_fits.Hdu(data=np.asarray(data['covariance'], dtype='f8')),
+                   io_fits.Hdu(data=np.asarray(data.get('mu_sigma', np.zeros_like(mu)),
+                                               dtype='f8'))])
+
+
+def write_simall_data(data_dir, data):
+    """Write the simall 'probEE' layout read by
+    :meth:`EELowlPlanck2018Likelihood.load_simall`: the per-ell
+    log-probability tables as one image (padded to the fixed 3000-point
+    grid with -1e30, matching the real product's dense storage)."""
+    from ... import io_fits
+    os.makedirs(data_dir, exist_ok=True)
+    prob = np.asarray(data['prob'], dtype='f8')
+    if prob.shape[1] < 3000:
+        prob = np.concatenate([prob, np.full((prob.shape[0], 3000 - prob.shape[1]), -1e30)],
+                              axis=1)
+    io_fits.write(os.path.join(data_dir, 'probEE'), [io_fits.Hdu(data=prob)])

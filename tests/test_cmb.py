@@ -118,12 +118,20 @@ def test_ttlowl_gaussianized_matches_analytic():
     x = (grid - dl_true[:, None]) / sig[:, None]
     cl2x = np.stack([grid, x], axis=-1)
     cov = np.diag(np.ones(nell))
-    data = dict(cl2x=cl2x, mu=np.zeros(nell), covariance=cov, mu_sigma=np.zeros(nell))
+    # no mu_sigma -> no offset normalization: the raw H&L value is pinned
+    data = dict(cl2x=cl2x, mu=np.zeros(nell), covariance=cov)
     like = TTLowlPlanck2018Likelihood(theory=ClTheory(tables=TABLES), data=data)
     run_once(like, {'A_planck': 1.})
     # at truth: x = 0, chi2 = 0, logjac = sum log(1/sig)
     expected = np.sum(np.log(1. / sig))
     assert float(like.loglikelihood) == pytest.approx(expected, rel=1e-4)
+
+    # with mu_sigma at the truth, the offset normalization (reference
+    # planck2018.py:131) zeroes the loglikelihood at that point
+    data_off = dict(data, mu_sigma=dl_true)
+    like = TTLowlPlanck2018Likelihood(theory=ClTheory(tables=TABLES), data=data_off)
+    run_once(like, {'A_planck': 1.})
+    assert float(like.loglikelihood) == pytest.approx(0., abs=1e-6)
 
 
 def test_eelowl_prob_table():
@@ -140,6 +148,83 @@ def test_eelowl_prob_table():
     like = EELowlPlanck2018Likelihood(theory=ClTheory(tables=tables), data=dict(prob=prob))
     run_once(like, {'A_planck': 1.})
     assert float(like.loglikelihood) == pytest.approx(0., abs=1e-3)
+
+
+# --- real clik-layout file round-trips (plik-lite / commander / simall) ---
+
+def test_plik_lite_real_file_roundtrip(tmp_path):
+    """write_plik_lite_data -> load_plik_lite (blmin/blmax/bweight text,
+    Fortran-record covariance, binned-Cl text) -> identical arrays and
+    identical likelihood."""
+    from desilike_tpu.likelihoods.cmb.planck2018 import write_plik_lite_data
+    data = plik_lite_fixture()
+    # the real bweight.dat starts at ell=30: entries below are zero by layout
+    data['weights'] = np.concatenate([np.zeros(30), np.full(LMAX + 1 - 30, 1. / 30)])
+    write_plik_lite_data(str(tmp_path), data)
+    read = TTTEEEHighlPlanck2018LiteLikelihood.load_plik_lite(
+        str(tmp_path), nbins=data['nbins'])
+    assert np.array_equal(read['ellmin'], data['ellmin'])
+    assert np.array_equal(read['ellmax'], data['ellmax'])
+    np.testing.assert_allclose(read['weights'], data['weights'], rtol=1e-12)
+    np.testing.assert_allclose(read['covariance'], data['covariance'], rtol=1e-12)
+    np.testing.assert_allclose(read['flatdata'], data['flatdata'], rtol=1e-12)
+    like_mem = TTTEEEHighlPlanck2018LiteLikelihood(
+        theory=ClTheory(tables=TABLES), data=data, elllim=(30, 1500))
+    run_once(like_mem, {'A_planck': 1.})
+    like_file = TTTEEEHighlPlanck2018LiteLikelihood(
+        theory=ClTheory(tables=TABLES), data=read, elllim=(30, 1500))
+    run_once(like_file, {'A_planck': 1.})
+    assert float(like_file.loglikelihood) == pytest.approx(
+        float(like_mem.loglikelihood), rel=1e-9, abs=1e-9)
+
+
+def test_commander_real_file_roundtrip(tmp_path):
+    """write_commander_data -> sigma.fits -> data_dir= likelihood equals the
+    in-memory one (exercises load_commander through the in-repo codec)."""
+    from desilike_tpu.likelihoods.cmb.planck2018 import write_commander_data
+    nell = 28
+    ells = np.arange(2, 30)
+    dl_true = TABLES['tt'][2:30] * MUK2 * ells * (ells + 1) / (2 * np.pi)
+    sig = 0.1 * np.abs(dl_true) + 10.
+    ngrid = 200
+    grid = dl_true[:, None] + np.linspace(-8, 8, ngrid)[None, :] * sig[:, None]
+    x = (grid - dl_true[:, None]) / sig[:, None]
+    data = dict(cl2x=np.stack([grid, x], axis=-1), mu=np.zeros(nell),
+                covariance=np.diag(np.ones(nell)), mu_sigma=dl_true)
+    write_commander_data(str(tmp_path), data)
+    read = TTLowlPlanck2018Likelihood.load_commander(str(tmp_path))
+    np.testing.assert_allclose(read['cl2x'], data['cl2x'], rtol=1e-12)
+    np.testing.assert_allclose(read['mu_sigma'], data['mu_sigma'], rtol=1e-12)
+    like_mem = TTLowlPlanck2018Likelihood(theory=ClTheory(tables=TABLES), data=data)
+    run_once(like_mem, {'A_planck': 1.})
+    like_file = TTLowlPlanck2018Likelihood(theory=ClTheory(tables=TABLES),
+                                           data_dir=str(tmp_path))
+    run_once(like_file, {'A_planck': 1.})
+    assert float(like_file.loglikelihood) == pytest.approx(
+        float(like_mem.loglikelihood), rel=1e-9, abs=1e-9)
+
+
+def test_simall_real_file_roundtrip(tmp_path):
+    """write_simall_data -> probEE -> data_dir= likelihood equals the
+    in-memory one (the real product's fixed 3000-point grid)."""
+    from desilike_tpu.likelihoods.cmb.planck2018 import write_simall_data
+    nell, ngrid = 28, 3000
+    dcl = 1e-4
+    bins = dcl * (0.5 + np.arange(ngrid))
+    ells = np.arange(2, 30)
+    dl_true = np.clip(TABLES['ee'][2:30] * MUK2 * ells * (ells + 1) / (2 * np.pi),
+                      1e-3, 0.25)
+    tables = dict(TABLES)
+    tables['ee'] = tables['ee'].copy()
+    tables['ee'][2:30] = dl_true * 2 * np.pi / (ells * (ells + 1)) / MUK2
+    prob = -0.5 * ((bins[None, :] - dl_true[:, None]) / (0.1 * dl_true[:, None])) ** 2
+    write_simall_data(str(tmp_path), dict(prob=prob))
+    read = EELowlPlanck2018Likelihood.load_simall(str(tmp_path))
+    np.testing.assert_allclose(read['prob'], prob, rtol=1e-12)
+    like_file = EELowlPlanck2018Likelihood(theory=ClTheory(tables=tables),
+                                           data_dir=str(tmp_path))
+    run_once(like_file, {'A_planck': 1.})
+    assert float(like_file.loglikelihood) == pytest.approx(0., abs=1e-3)
 
 
 # --- lollipop ---
@@ -175,6 +260,29 @@ def test_lollipop_eb_2field():
     assert float(like.loglikelihood) == pytest.approx(0., abs=1e-5)
     pipe.evaluate({'A_planck': 1.05})
     assert float(like.loglikelihood) < -1e-3
+
+
+def test_lollipop_real_file_roundtrip(tmp_path):
+    """write_lollipop_data -> (cl/fiducial .dat texts + clcov FITS) ->
+    read_lollipop_data / data_dir= init: identical arrays, identical
+    likelihood (exercises the real PR4 NPIPE layout through the in-repo
+    codec)."""
+    from desilike_tpu.likelihoods.cmb.lollipop import (read_lollipop_data,
+                                                       write_lollipop_data)
+    data = lollipop_fixture()
+    write_lollipop_data(str(tmp_path), data)
+    read = read_lollipop_data(str(tmp_path))
+    np.testing.assert_allclose(read['cl'], data['cl'], rtol=1e-12)
+    np.testing.assert_allclose(read['fiducial'], data['fiducial'], rtol=1e-12)
+    np.testing.assert_allclose(read['covariance'], data['covariance'], rtol=1e-12)
+    like_mem = EBLowlPlanck2020LollipopLikelihood(
+        theory=ClTheory(tables=TABLES), data=data)
+    run_once(like_mem, {'A_planck': 1.02})
+    like_file = EBLowlPlanck2020LollipopLikelihood(
+        theory=ClTheory(tables=TABLES), data_dir=str(tmp_path))
+    run_once(like_file, {'A_planck': 1.02})
+    assert float(like_file.loglikelihood) == pytest.approx(
+        float(like_mem.loglikelihood), rel=1e-7, abs=1e-9)
 
 
 # --- ACT DR6 lensing ---

@@ -83,6 +83,98 @@ def test_sn_likelihood_with_marg_mb():
     assert abs(float(aux['solved']['Mb']) + 19.3) < 0.01  # recovers injected Mb
 
 
+def _sn_truth(z, offset=0.):
+    p = bg.resolve()
+    dm = np.asarray(bg.comoving_angular_distance(p, np.asarray(z)))
+    return 5 * np.log10((1 + np.asarray(z)) * dm / p['h']) + 25 + offset
+
+
+def test_pantheonplus_dataset_roundtrip(tmp_path):
+    """Real Pantheon+ file layout (config.dataset + named-column light-curve
+    table + first-line-size covariance) through write_sn_dataset ->
+    data_dir= init: z > 0.01 mask applied, heliocentric correction on the
+    theory side, chi2 = 0 at the generating cosmology."""
+    from desilike_tpu.likelihoods import PantheonPlusSNLikelihood
+    from desilike_tpu.likelihoods.supernovae import write_sn_dataset
+    rng = np.random.default_rng(5)
+    n = 30
+    z = np.concatenate([[0.004, 0.008], np.linspace(0.02, 1.2, n - 2)])  # 2 below the cut
+    zhel = z + rng.normal(0., 1e-4, n)
+    mb = _sn_truth(z, offset=-19.3) + 5 * np.log10((1 + zhel) / (1 + z))
+    cov = np.diag(np.full(n, 0.05 ** 2))
+    write_sn_dataset(str(tmp_path), {'zHD': z, 'zHEL': zhel, 'm_b_corr': mb}, cov,
+                     header='')  # Pantheon+ tables carry a bare header line
+    like = PantheonPlusSNLikelihood(data_dir=str(tmp_path), cosmo=varied_cosmo(('omega_cdm',)))
+    # chi2 == 0 at truth -> loglike == 0 (mask removed the sub-cut SNe);
+    # float32 pipeline -> ~1e-7 absolute tolerance
+    like.pipeline.evaluate({'omega_cdm': 0.12, 'Mb': -19.3})
+    assert len(like.z) == n - 2 and float(like.z.min()) > 0.01
+    assert float(like.loglikelihood) == pytest.approx(0., abs=1e-5)
+    fn = like.logpost_fn()
+    lp, _ = fn({'omega_cdm': jnp.asarray(0.12), 'Mb': jnp.asarray(-19.3)})
+    lp_off, _ = fn({'omega_cdm': jnp.asarray(0.135), 'Mb': jnp.asarray(-19.3)})
+    assert float(lp) > float(lp_off)
+
+
+def test_pantheonplus_shoes_calibrators(tmp_path):
+    """SH0ES variant: cepheid-host distances anchor Mb — a wrong Mb is
+    penalized even with a free cosmology-side offset degeneracy."""
+    from desilike_tpu.likelihoods import PantheonPlusSHOESSNLikelihood
+    from desilike_tpu.likelihoods.supernovae import write_sn_dataset
+    n = 24
+    z = np.linspace(0.005, 1.0, n)
+    is_cal = (np.arange(n) % 6 == 0).astype('f8')  # includes z<0.01 entries
+    mu = _sn_truth(z)
+    ceph = np.where(is_cal > 0.5, mu, 0.)
+    mb = mu - 19.3
+    cov = np.diag(np.full(n, 0.04 ** 2))
+    write_sn_dataset(str(tmp_path),
+                     {'zHD': z, 'zHEL': z, 'm_b_corr': mb,
+                      'IS_CALIBRATOR': is_cal, 'CEPH_DIST': ceph}, cov, header='')
+    like = PantheonPlusSHOESSNLikelihood(data_dir=str(tmp_path))
+    like.pipeline.evaluate({'Mb': -19.3})
+    # the sub-cut entry is a calibrator, so every row is kept — the z>0.01
+    # cut is overridden for calibrators
+    assert bool(like._is_calibrator[0]) and len(like.z) == n
+    assert float(like.z.min()) < 0.01
+    assert float(like.loglikelihood) == pytest.approx(0., abs=1e-5)
+    like.pipeline.evaluate({'Mb': -19.25})
+    assert float(like.loglikelihood) < -1.
+
+
+def test_union3_and_desy5_datasets(tmp_path):
+    """Union3 (dM offset, dimensionless D_L) and DES-Y5 (CSV light curves,
+    MUERR_FINAL added to the covariance diagonal)."""
+    from desilike_tpu.likelihoods import Union3SNLikelihood, DESY5SNLikelihood
+    from desilike_tpu.likelihoods.supernovae import write_sn_dataset
+    # Union3: mb = 5 log10(100 DL[Mpc/h]) + 25 + dM_true
+    z = np.linspace(0.05, 2.0, 22)
+    p = bg.resolve()
+    dl = (1 + z) * np.asarray(bg.comoving_angular_distance(p, z))
+    mb = 5 * np.log10(100 * dl) + 25 - 9.2
+    d1 = tmp_path / 'union3'
+    write_sn_dataset(str(d1), {'zcmb': z, 'mb': mb}, np.diag(np.full(22, 0.03 ** 2)))
+    like = Union3SNLikelihood(data_dir=str(d1))
+    like.pipeline.evaluate({'dM': -9.2})
+    assert float(like.loglikelihood) == pytest.approx(0., abs=1e-5)
+
+    # DES-Y5: comma-separated with '#' comments; MU data; MUERR_FINAL
+    n = 20
+    z = np.linspace(0.02, 1.1, n)
+    muerr = np.full(n, 0.05)
+    d2 = tmp_path / 'des'
+    write_sn_dataset(str(d2), {'zHD': z, 'zHEL': z, 'MU': _sn_truth(z),
+                               'MUERR_FINAL': muerr},
+                     np.diag(np.full(n, 0.02 ** 2)), header='', sep=',')
+    like = DESY5SNLikelihood(data_dir=str(d2))
+    like.pipeline.evaluate({'Mb': 0.})
+    assert float(like.loglikelihood) == pytest.approx(0., abs=1e-5)
+    # a constant 0.01 offset pins the combined (cov + MUERR^2) variance
+    like.pipeline.evaluate({'Mb': 0.01})
+    expected = -0.5 * n * 0.01 ** 2 / (0.02 ** 2 + 0.05 ** 2)
+    assert float(like.loglikelihood) == pytest.approx(expected, rel=1e-3)
+
+
 def test_compression_observables():
     # data generated from the fiducial extractor itself
     from desilike_tpu.theories.extractors import BAOExtractor
