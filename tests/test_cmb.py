@@ -334,6 +334,66 @@ def test_act_corrections_move_theory():
     assert not np.allclose(np.asarray(like.flattheory()), np.asarray(like2.flattheory()))
 
 
+def test_act_dr6_file_roundtrip(tmp_path):
+    """Real directory layout (act_dr6_lenslike v1.2): write -> read ->
+    likelihood from data_dir == in-memory likelihood (with the reader's
+    Hartlap factor applied to the in-memory precision)."""
+    from desilike_tpu.likelihoods.cmb.act_dr6_lensing import (
+        read_act_dr6_data, write_act_dr6_data)
+    data = act_fixture()
+    data['covariance'] = np.linalg.inv(data['cinv'])
+    write_act_dr6_data(str(tmp_path), data, variant='act_baseline')
+    read = read_act_dr6_data(str(tmp_path), variant='act_baseline',
+                             apply_hartlap=False)
+    np.testing.assert_allclose(read['data_binned_clkk'], data['data_binned_clkk'],
+                               rtol=1e-10)
+    np.testing.assert_allclose(read['cinv'], data['cinv'], rtol=1e-7)
+    np.testing.assert_allclose(read['dAL_dC'], data['dAL_dC'], atol=0)
+    assert read['trim_ellmax'] == data['trim_ellmax']
+    assert not read['include_planck']
+    # data_dir path applies the ACT Hartlap factor (nsims=792)
+    nbin = len(data['data_binned_clkk'])
+    hartlap = (792. - nbin - 2.) / (792. - 1.)
+    like_file = ACTDR6LensingLikelihood(theory=ClTheory(tables=TABLES),
+                                        data_dir=str(tmp_path))
+    run_once(like_file, {'Alens': 1.1})
+    data_h = dict(data, cinv=hartlap * data['cinv'])
+    like_mem = ACTDR6LensingLikelihood(theory=ClTheory(tables=TABLES), data=data_h)
+    run_once(like_mem, {'Alens': 1.1})
+    assert float(like_file.loglikelihood) == pytest.approx(
+        float(like_mem.loglikelihood), rel=1e-6, abs=1e-9)
+
+
+def test_act_dr6_file_roundtrip_planck(tmp_path):
+    """actplanck variant: planck binning + suffixed correction stacks survive
+    the round trip, the joint Hartlap uses the smaller sim count, and the
+    include_planck branch of calculate() runs end to end (truth -> 0)."""
+    from desilike_tpu.likelihoods.cmb.act_dr6_lensing import (
+        read_act_dr6_data, write_act_dr6_data)
+    base = act_fixture(include_planck=True)
+    nextra = 5
+    data = dict(base)
+    data['binmat_planck'] = base['binmat_act'][:nextra]
+    data['data_binned_clkk'] = np.concatenate(
+        [base['data_binned_clkk'], base['data_binned_clkk'][:nextra]])
+    n = len(data['data_binned_clkk'])
+    data['covariance'] = np.diag(
+        (0.05 * np.abs(data['data_binned_clkk']) + 1e-12) ** 2)
+    for key in ('dN1_kk', 'dAL_dC', 'fAL', 'dN1_tt', 'dN1_ee', 'dN1_bb', 'dN1_te'):
+        data[key + '_planck'] = base[key]
+    write_act_dr6_data(str(tmp_path), data, variant='actplanck_baseline')
+    read = read_act_dr6_data(str(tmp_path), variant='actplanck_baseline')
+    assert read['include_planck']
+    np.testing.assert_allclose(read['binmat_planck'], data['binmat_planck'], atol=0)
+    np.testing.assert_allclose(read['fAL_planck'], data['fAL_planck'], atol=0)
+    hartlap = (400. - n - 2.) / (400. - 1.)  # min(nsims_act, nsims_planck)
+    np.testing.assert_allclose(
+        read['cinv'], hartlap * np.linalg.inv(data['covariance']), rtol=1e-7)
+    like = ACTDR6LensingLikelihood(theory=ClTheory(tables=TABLES), data=read)
+    run_once(like, {'Alens': 1.})
+    assert float(like.loglikelihood) == pytest.approx(0., abs=1e-5)
+
+
 # --- hillipop ---
 
 def hillipop_fixture(modes=('TT', 'EE', 'TE')):
