@@ -5,6 +5,15 @@ codes and downloads data archives; in this framework all theory is
 in-package, so the Installer only manages where user-provided data files
 (SN compilations, window matrices, Planck products) live, persisting the
 configuration like the reference does (~/.desilike_tpu/config.yaml).
+
+Likelihoods with real-product readers (CMB camspec/hillipop/lollipop/
+plik-lite/ACT-DR6-lensing, SN compilations) resolve their data through
+:func:`installed_data_dir` when called with neither ``data=`` nor
+``data_dir=`` — the role of the reference's
+``Installer().data_dir(section, ro=True)`` lookup (ref
+act_dr6_lensing.py:108-110). The base directory comes from, in order:
+the ``DESILIKE_TPU_DATA_DIR`` environment variable, the persisted config,
+then ``~/.desilike_tpu/data``.
 """
 
 import os
@@ -15,6 +24,7 @@ from .utils import BaseClass
 
 
 CONFIG_FN = os.path.expanduser('~/.desilike_tpu/config.yaml')
+DATA_DIR_ENV = 'DESILIKE_TPU_DATA_DIR'
 
 
 class Installer(BaseClass):
@@ -28,12 +38,21 @@ class Installer(BaseClass):
         if data_dir is not None:
             self.config['data_dir'] = str(data_dir)
 
-    @property
-    def data_dir(self):
-        return self.config.get('data_dir', os.path.expanduser('~/.desilike_tpu/data'))
+    def data_dir(self, section=None):
+        """Base data directory, or the per-``section`` directory: a
+        ``{section: {data_dir: ...}}`` config override if present, else
+        ``<base>/<section>`` (the reference's sectioned layout)."""
+        base = os.environ.get(DATA_DIR_ENV) or self.config.get(
+            'data_dir', os.path.expanduser('~/.desilike_tpu/data'))
+        if section is None:
+            return base
+        override = self.config.get(section)
+        if isinstance(override, dict) and override.get('data_dir'):
+            return str(override['data_dir'])
+        return os.path.join(base, section)
 
     def data_fn(self, *names):
-        return os.path.join(self.data_dir, *names)
+        return os.path.join(self.data_dir(), *names)
 
     def write(self):
         os.makedirs(os.path.dirname(self.config_fn), exist_ok=True)
@@ -51,4 +70,12 @@ class Installer(BaseClass):
     def download(self, url, target=None):
         raise RuntimeError(
             'this build has no network egress; place the file expected at {} '
-            'into the data directory {} manually'.format(url, self.data_dir))
+            'into the data directory {} manually'.format(url, self.data_dir()))
+
+
+def installed_data_dir(section):
+    """``Installer().data_dir(section)`` if that directory exists on disk,
+    else ``None`` — the soft lookup likelihood ``initialize`` methods use
+    before falling back to their "provide data=/data_dir=" error."""
+    path = Installer().data_dir(section)
+    return path if os.path.isdir(path) else None

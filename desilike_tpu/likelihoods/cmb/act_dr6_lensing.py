@@ -60,12 +60,16 @@ class ACTDR6LensingLikelihood(BaseGaussianLikelihood):
     """
 
     name = 'ACTDR6Lensing'
+    installer_section = 'ACTDR6LensingLikelihood'
     trim_ellmax = 2998
     _params = dict(BaseGaussianLikelihood._params)
     _params.update({'Alens': dict(value=1., fixed=True, latex=r'A_\mathrm{lens}')})
 
     def initialize(self, theory=None, data=None, lens_only=False, data_dir=None,
                    variant='act_baseline', **kwargs):
+        if data is None and data_dir is None:
+            from ...install import installed_data_dir
+            data_dir = installed_data_dir(self.installer_section)
         if data is None and data_dir is not None:
             data = read_act_dr6_data(data_dir, variant=variant, lens_only=lens_only)
         if data is None:

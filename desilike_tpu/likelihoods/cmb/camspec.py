@@ -70,6 +70,9 @@ class BasePlanckNPIPECamspecLikelihood(BaseGaussianLikelihood):
         for block in blocks:
             if block not in ALL_BLOCKS:
                 raise ValueError('unknown CamSpec block {}; expected {}'.format(block, ALL_BLOCKS))
+        if data is None and data_dir is None:
+            from ...install import installed_data_dir
+            data_dir = installed_data_dir('Planck2020CamSpecLikelihood')
         if data is None and data_dir is not None:
             data = read_camspec_data(data_dir)
         if data is None:

@@ -289,9 +289,15 @@ class BaseHillipopLikelihood(BaseLikelihood):
         base.update(_hillipop_params(cls.modes))
         return base
 
-    def initialize(self, theory=None, data=None, **kwargs):
+    def initialize(self, theory=None, data=None, data_dir=None, **kwargs):
+        if data is None and data_dir is None:
+            from ...install import installed_data_dir
+            data_dir = installed_data_dir('Planck2020HillipopLikelihood')
+        if data is None and data_dir is not None:
+            data = read_hillipop_data(data_dir, modes=self.modes)
         if data is None:
-            raise ValueError('provide data= dict (see class docstring)')
+            raise ValueError('provide data= dict (see class docstring) or '
+                             'data_dir= with the PR4 hillipop products')
         self.frequencies = tuple(data.get('frequencies', (100, 100, 143, 143, 217, 217)))
         self._mapnames = tuple(data.get('mapnames', ('100A', '100B', '143A', '143B', '217A', '217B')))
         nmap = len(self.frequencies)

@@ -115,6 +115,9 @@ class LollipopLikelihood(BaseLikelihood):
             raise ValueError('mode must be lowlE/lowlB/lowlEB')
         self.mode = mode
         self.marginalised_over_covariance = bool(marginalised_over_covariance)
+        if data is None and data_dir is None:
+            from ...install import installed_data_dir
+            data_dir = installed_data_dir('Planck2020LollipopLikelihood')
         if data is None and data_dir is not None:
             data = read_lollipop_data(data_dir)
         if data is None:

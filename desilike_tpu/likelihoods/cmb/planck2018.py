@@ -77,6 +77,9 @@ class TTTEEEHighlPlanck2018LiteLikelihood(BasePlanck2018Likelihood, BaseGaussian
         self.elllim = tuple(elllim)
         if data is None:
             if data_dir is None:
+                from ...install import installed_data_dir
+                data_dir = installed_data_dir('Planck2018LiteLikelihood')
+            if data_dir is None:
                 raise ValueError('provide data= arrays or data_dir= with the plik-lite files')
             data = self.load_plik_lite(data_dir)
         ellmin = np.asarray(data['ellmin'], dtype='i8')
@@ -160,6 +163,9 @@ class TTLowlPlanck2018Likelihood(BasePlanck2018Likelihood):
     def initialize(self, theory=None, data=None, data_dir=None, elllim=(2, 29), **kwargs):
         self.elllim = tuple(elllim)
         if data is None:
+            if data_dir is None:
+                from ...install import installed_data_dir
+                data_dir = installed_data_dir('TTLowlPlanck2018Likelihood')
             if data_dir is None:
                 raise ValueError('provide data= arrays or data_dir= with sigma.fits')
             data = self.load_commander(data_dir, self.elllim)
@@ -250,6 +256,9 @@ class EELowlPlanck2018Likelihood(BasePlanck2018Likelihood):
     def initialize(self, theory=None, data=None, data_dir=None, elllim=(2, 29), **kwargs):
         self.elllim = tuple(elllim)
         if data is None:
+            if data_dir is None:
+                from ...install import installed_data_dir
+                data_dir = installed_data_dir('EELowlPlanck2018Likelihood')
             if data_dir is None:
                 raise ValueError('provide data= arrays or data_dir= with probEE')
             data = self.load_simall(data_dir, self.elllim)

@@ -147,6 +147,9 @@ class BaseSNLikelihood(BaseGaussianLikelihood):
     def initialize(self, z=None, magnitudes=None, covariance=None, zhel=None,
                    cosmo=None, data_dir=None, config_fn=None,
                    data_fn=None, cov_fn=None, **kwargs):
+        if z is None and data_dir is None and data_fn is None:
+            from ..install import installed_data_dir
+            data_dir = installed_data_dir(type(self).__name__)
         if data_dir is not None:
             config = read_sn_config(os.path.join(data_dir, config_fn or self.config_fn))
             lc = read_light_curve_params(os.path.join(data_dir, config['data_file']),

@@ -394,6 +394,27 @@ def test_act_dr6_file_roundtrip_planck(tmp_path):
     assert float(like.loglikelihood) == pytest.approx(0., abs=1e-5)
 
 
+def test_installer_section_resolution(tmp_path, monkeypatch):
+    """Installer sectioned data-dir lookup (the reference's
+    Installer().data_dir(section) role): a likelihood called with neither
+    data= nor data_dir= finds its installed directory."""
+    from desilike_tpu.install import Installer, installed_data_dir, DATA_DIR_ENV
+    from desilike_tpu.likelihoods.cmb.act_dr6_lensing import write_act_dr6_data
+    monkeypatch.setenv(DATA_DIR_ENV, str(tmp_path))
+    inst = Installer(config_fn=str(tmp_path / 'no_config.yaml'))
+    assert inst.data_dir() == str(tmp_path)
+    assert inst.data_dir('X') == str(tmp_path / 'X')
+    assert installed_data_dir('X') is None
+    sect = tmp_path / 'ACTDR6LensingLikelihood'
+    data = act_fixture()
+    data['covariance'] = np.linalg.inv(data['cinv'])
+    write_act_dr6_data(str(sect), data, variant='act_baseline')
+    assert installed_data_dir('ACTDR6LensingLikelihood') == str(sect)
+    like = ACTDR6LensingLikelihood(theory=ClTheory(tables=TABLES))
+    run_once(like, {'Alens': 1.})
+    assert np.isfinite(float(like.loglikelihood))
+
+
 # --- hillipop ---
 
 def hillipop_fixture(modes=('TT', 'EE', 'TE')):
