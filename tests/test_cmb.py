@@ -513,7 +513,7 @@ def test_hillipop_real_file_roundtrip(tmp_path):
         theory=ClTheory(tables=TABLES), data=data)
     run_once(like_mem, values)
     like_file = TTTEEEHighlPlanck2020HillipopLikelihood(
-        theory=ClTheory(tables=TABLES), data=read)
+        theory=ClTheory(tables=TABLES), data_dir=str(tmp_path))
     run_once(like_file, values)
     assert float(like_file.loglikelihood) == pytest.approx(
         float(like_mem.loglikelihood), rel=1e-5, abs=1e-3)
