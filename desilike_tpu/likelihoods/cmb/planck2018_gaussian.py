@@ -182,3 +182,89 @@ class Planck2018GaussianLikelihood(BasePlanck2018GaussianLikelihood):
         cov = corr * np.outer(sig, sig)
         super().initialize(cosmo=cosmo, quantities=list(self.quantities_default),
                            mean=np.asarray(self.mean_default), covariance=cov, **kwargs)
+
+
+def planck2018_base_fn(basename, data_dir=None):
+    """Resolve the Planck-2018 full-grid directory layout
+    ``<data_dir>/<model>/plikHM_<obs>/[dist/]<basename>`` for a chain
+    basename like 'base_mnu_plikHM_TTTEEE_lowl_lowE_lensing'; returns
+    (chain_fn, dist_fn) prefixes (reference planck2018_gaussian.py:20-43).
+    With ``data_dir=None`` the Installer sections
+    FullGridPlanck2018GaussianLikelihood / BasePlanck2018GaussianLikelihood
+    are tried in that order."""
+    if data_dir is None:
+        from ...install import installed_data_dir
+        data_dir = installed_data_dir('FullGridPlanck2018GaussianLikelihood')
+        if data_dir is None and basename.startswith('base_plik'):
+            data_dir = installed_data_dir('BasePlanck2018GaussianLikelihood')
+        if data_dir is None:
+            raise ValueError('no data_dir= given and no installed Planck 2018 '
+                             'grid found (see desilike_tpu.install)')
+    try:
+        base_dir, obs_dir = basename.split('_plikHM_')
+    except ValueError as exc:
+        raise ValueError('basename {0} is expected to contain "_plikHM_"; maybe '
+                         'you forgot the model name in front, e.g. base_{0}?'
+                         .format(basename)) from exc
+    run_dir = os.path.join(data_dir, base_dir, 'plikHM_' + obs_dir)
+    return (os.path.join(run_dir, basename),
+            os.path.join(run_dir, 'dist', basename))
+
+
+def read_getdist_chains(chain_fn):
+    """Read getdist-format chain text files ``<chain_fn>_<i>.txt`` (columns:
+    weight, -lnpost, params...) with names from ``<chain_fn>.paramnames``;
+    returns (names, samples (nsamples, nparams), weights)."""
+    import glob
+    names = []
+    with open(chain_fn + '.paramnames') as f:
+        for line in f:
+            parts = line.strip().split(None, 1)
+            if parts:
+                names.append(parts[0].rstrip('*'))
+    fns = sorted(glob.glob(chain_fn + '_*.txt')) or ([chain_fn + '.txt']
+                 if os.path.exists(chain_fn + '.txt') else [])
+    if not fns:
+        raise IOError('no chain files matching {}_*.txt'.format(chain_fn))
+    blocks = [np.atleast_2d(np.loadtxt(fn)) for fn in fns]
+    arr = np.concatenate(blocks, axis=0)
+    return names, arr[:, 2:2 + len(names)], arr[:, 0]
+
+
+class FullGridPlanck2018GaussianLikelihood(BasePlanck2018GaussianLikelihood):
+    """Gaussian approximation of ANY entry of the Planck-2018 full grid of
+    chains (reference planck2018_gaussian.py:230): pick the run with
+    ``basename`` (e.g. 'base_mnu_plikHM_TTTEEE_lowl_lowE_lensing'); the
+    mean/covariance come from the published ``dist/`` summary products
+    (``source='covmat'``) or are computed from the chains themselves
+    (``source='chains'``, optional ``weights=`` callable on (names,
+    samples, weights) returning reweighting factors — the role of the
+    reference's cmb-only importance unweighting hook)."""
+
+    name = 'FullGridPlanck2018Gaussian'
+
+    def initialize(self, cosmo=None, basename='base_plikHM_TTTEEE_lowl_lowE_lensing',
+                   data_dir=None, source='covmat', quantities=None, weights=None,
+                   **kwargs):
+        chain_fn, dist_fn = planck2018_base_fn(basename, data_dir=data_dir)
+        if source == 'covmat':
+            super().initialize(cosmo=cosmo, dist_fn=dist_fn, quantities=quantities,
+                               **kwargs)
+            return
+        if source != 'chains':
+            raise ValueError("source must be 'covmat' or 'chains'")
+        names, samples, w = read_getdist_chains(chain_fn)
+        if weights is not None:
+            w = w * np.asarray(weights(names, samples, w), dtype='f8')
+        if quantities is None:
+            keep = [n for n in names if n in convert_planck2018_params]
+        else:
+            back = {v: k for k, v in convert_planck2018_params.items()}
+            keep = [back[q] for q in quantities]
+        idx = [names.index(n) for n in keep]
+        sub = samples[:, idx]
+        mean = np.average(sub, axis=0, weights=w)
+        cov = np.atleast_2d(np.cov(sub.T, aweights=w, ddof=0))
+        super().initialize(cosmo=cosmo,
+                           quantities=[convert_planck2018_params[n] for n in keep],
+                           mean=mean, covariance=cov, **kwargs)

@@ -573,6 +573,68 @@ def test_getdist_readers(tmp_path):
     assert np.isfinite(float(lp))
 
 
+def test_fullgrid_planck2018_gaussian(tmp_path):
+    """Full-grid layout resolution + both mean/cov sources: the dist/
+    covmat+margestats products and the getdist chain files themselves agree
+    (to MC error) and build a working likelihood."""
+    from desilike_tpu.likelihoods.cmb import (FullGridPlanck2018GaussianLikelihood,
+                                              planck2018_base_fn, read_getdist_chains)
+    basename = 'base_mnu_plikHM_TTTEEE_lowl_lowE'
+    run = tmp_path / 'base_mnu' / 'plikHM_TTTEEE_lowl_lowE'
+    dist = run / 'dist'
+    dist.mkdir(parents=True)
+    names = ['omegabh2', 'omegach2', 'ns']
+    mean = np.array([0.02237, 0.1200, 0.9649])
+    cov = np.diag([0.00015, 0.0012, 0.0042]) ** 2
+    rng = np.random.default_rng(0)
+    n = 6000
+    samp = rng.multivariate_normal(mean, cov, size=n)
+    with open(run / (basename + '.paramnames'), 'w') as f:
+        f.write('omegabh2 \\Omega_b h^2\nomegach2* \\Omega_c h^2\nns n_s\n')
+    for i in (1, 2):
+        sl = slice((i - 1) * n // 2, i * n // 2)
+        block = np.column_stack([np.ones(n // 2), np.zeros(n // 2), samp[sl]])
+        np.savetxt(run / '{}_{}.txt'.format(basename, i), block)
+    with open(dist / (basename + '.covmat'), 'w') as f:
+        f.write('# ' + ' '.join(names) + '\n')
+        np.savetxt(f, cov)
+    with open(dist / (basename + '.margestats'), 'w') as f:
+        f.write('parameter mean sddev\n')
+        for nm, m, s in zip(names, mean, np.sqrt(np.diag(cov))):
+            f.write('{} {} {}\n'.format(nm, m, s))
+    chain_fn, dist_fn = planck2018_base_fn(basename, data_dir=str(tmp_path))
+    assert dist_fn == str(dist / basename)
+    rnames, rsamp, rw = read_getdist_chains(chain_fn)
+    assert rnames == names and rsamp.shape == (n, 3)
+    like_cov = FullGridPlanck2018GaussianLikelihood(
+        basename=basename, data_dir=str(tmp_path))
+    like_ch = FullGridPlanck2018GaussianLikelihood(
+        basename=basename, data_dir=str(tmp_path), source='chains')
+    assert like_cov.pipeline is not None and like_ch.pipeline is not None
+    assert like_cov.quantities == like_ch.quantities == ['omega_b', 'omega_cdm', 'n_s']
+    np.testing.assert_allclose(np.asarray(like_ch.flatdata),
+                               np.asarray(like_cov.flatdata), rtol=2e-3)
+    lp = like_cov.logpost_fn()({p: jnp.asarray(like_cov.pipeline.params[p].value)
+                                for p in like_cov.pipeline.varied_params.names()})[0]
+    assert np.isfinite(float(lp))
+    with pytest.raises(ValueError):
+        planck2018_base_fn('mnu_TTTEEE')  # missing the _plikHM_ separator
+
+
+def test_clik_name_aliases():
+    from desilike_tpu.likelihoods.cmb import (
+        TTTEEEHighlPlanck2018PlikLiteLikelihood, TTLowlPlanck2018ClikLikelihood,
+        EELowlPlanck2018ClikLikelihood, TTTEEEHighlPlanck2018PlikLikelihood,
+        LensingPlanck2018ClikLikelihood)
+    assert TTTEEEHighlPlanck2018PlikLiteLikelihood is TTTEEEHighlPlanck2018LiteLikelihood
+    assert TTLowlPlanck2018ClikLikelihood is TTLowlPlanck2018Likelihood
+    assert EELowlPlanck2018ClikLikelihood is EELowlPlanck2018Likelihood
+    assert issubclass(TTTEEEHighlPlanck2018PlikLikelihood,
+                      TTTEEEHighlPlanck2018LiteLikelihood)
+    with pytest.raises(NotImplementedError):
+        LensingPlanck2018ClikLikelihood()
+
+
 def test_theta_star_quantities():
     from desilike_tpu.cosmology import background as bg
     p = bg.resolve({})
