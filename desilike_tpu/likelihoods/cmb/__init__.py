@@ -6,6 +6,7 @@ from .planck2018 import (TTTEEEHighlPlanck2018LiteLikelihood, TTHighlPlanck2018L
 from .planck2018_gaussian import (BasePlanck2018GaussianLikelihood, Planck2018GaussianLikelihood,
                                   FullGridPlanck2018GaussianLikelihood,
                                   planck2018_base_fn, read_getdist_chains,
+                                  read_planck2018_chain,
                                   read_getdist_covmat, read_getdist_margestats,
                                   convert_planck2018_params)
 from .lollipop import (LollipopLikelihood, EELowlPlanck2020LollipopLikelihood,

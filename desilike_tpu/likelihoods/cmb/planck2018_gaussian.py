@@ -231,6 +231,42 @@ def read_getdist_chains(chain_fn):
     return names, arr[:, 2:2 + len(names)], arr[:, 0]
 
 
+def read_planck2018_chain(basename='base_plikHM_TTTEEE_lowl_lowE_lensing',
+                          data_dir=None, weights=None, params=None):
+    """Read a full-grid Planck 2018 chain into a :class:`Chain` with
+    framework parameter names (reference planck2018_gaussian.py:46):
+    getdist columns are renamed through ``convert_planck2018_params``
+    (unknown columns keep their getdist names), the getdist weight column
+    becomes 'aweight' and -lnpost becomes 'logposterior'. ``weights`` is an
+    optional callable on the Chain returning extra importance weights;
+    ``params`` selects/orders the returned columns (framework names)."""
+    from ...samples.chain import Chain
+    chain_fn, _ = planck2018_base_fn(basename, data_dir=data_dir)
+    names, samples, w = read_getdist_chains(chain_fn)
+    # the second getdist column is -ln(posterior)
+    import glob
+    fns = sorted(glob.glob(chain_fn + '_*.txt')) or [chain_fn + '.txt']
+    lnpost = -np.concatenate([np.atleast_2d(np.loadtxt(fn))[:, 1] for fn in fns])
+    chain = Chain()
+    for i, n in enumerate(names):
+        chain[convert_planck2018_params.get(n, n)] = samples[:, i]
+    chain['aweight'] = np.asarray(w, dtype='f8')
+    chain['logposterior'] = lnpost
+    if weights is not None:
+        chain['aweight'] = chain['aweight'] * np.asarray(weights(chain), dtype='f8')
+    if params is not None:
+        keep = [getattr(p, 'name', p) for p in params]
+        missing = [n for n in keep if n not in chain]
+        if missing:
+            raise ValueError('parameters {} not in chain (available: {})'.format(
+                missing, chain.names()))
+        sub = Chain()
+        for n in keep + ['aweight', 'logposterior']:
+            sub[n] = chain[n]
+        return sub
+    return chain
+
+
 class FullGridPlanck2018GaussianLikelihood(BasePlanck2018GaussianLikelihood):
     """Gaussian approximation of ANY entry of the Planck-2018 full grid of
     chains (reference planck2018_gaussian.py:230): pick the run with

@@ -619,6 +619,15 @@ def test_fullgrid_planck2018_gaussian(tmp_path):
     assert np.isfinite(float(lp))
     with pytest.raises(ValueError):
         planck2018_base_fn('mnu_TTTEEE')  # missing the _plikHM_ separator
+    # chain container reader: converted names, weights, param selection
+    from desilike_tpu.likelihoods.cmb import read_planck2018_chain
+    ch = read_planck2018_chain(basename, data_dir=str(tmp_path))
+    assert 'omega_b' in ch and 'n_s' in ch and 'aweight' in ch
+    assert ch.mean('omega_cdm') == pytest.approx(0.12, abs=2e-4)
+    sub = read_planck2018_chain(basename, data_dir=str(tmp_path),
+                                params=['n_s'],
+                                weights=lambda c: np.ones(len(np.asarray(c['n_s']))))
+    assert sub.names() == ['n_s', 'aweight', 'logposterior']
 
 
 def test_clik_name_aliases():
