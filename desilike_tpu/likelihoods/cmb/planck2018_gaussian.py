@@ -273,9 +273,9 @@ class FullGridPlanck2018GaussianLikelihood(BasePlanck2018GaussianLikelihood):
     ``basename`` (e.g. 'base_mnu_plikHM_TTTEEE_lowl_lowE_lensing'); the
     mean/covariance come from the published ``dist/`` summary products
     (``source='covmat'``) or are computed from the chains themselves
-    (``source='chains'``, optional ``weights=`` callable on (names,
-    samples, weights) returning reweighting factors — the role of the
-    reference's cmb-only importance unweighting hook)."""
+    (``source='chains'``, optional ``weights=`` callable on the
+    :class:`Chain` returning reweighting factors — the reference's
+    cmb-only importance unweighting hook)."""
 
     name = 'FullGridPlanck2018Gaussian'
 
@@ -289,18 +289,13 @@ class FullGridPlanck2018GaussianLikelihood(BasePlanck2018GaussianLikelihood):
             return
         if source != 'chains':
             raise ValueError("source must be 'covmat' or 'chains'")
-        names, samples, w = read_getdist_chains(chain_fn)
-        if weights is not None:
-            w = w * np.asarray(weights(names, samples, w), dtype='f8')
+        chain = read_planck2018_chain(basename, data_dir=data_dir, weights=weights)
         if quantities is None:
-            keep = [n for n in names if n in convert_planck2018_params]
-        else:
-            back = {v: k for k, v in convert_planck2018_params.items()}
-            keep = [back[q] for q in quantities]
-        idx = [names.index(n) for n in keep]
-        sub = samples[:, idx]
+            known = set(convert_planck2018_params.values())
+            quantities = [n for n in chain.names() if n in known]
+        sub, _ = chain.points(list(quantities))
+        w = chain.weight.reshape(-1)
         mean = np.average(sub, axis=0, weights=w)
         cov = np.atleast_2d(np.cov(sub.T, aweights=w, ddof=0))
-        super().initialize(cosmo=cosmo,
-                           quantities=[convert_planck2018_params[n] for n in keep],
+        super().initialize(cosmo=cosmo, quantities=list(quantities),
                            mean=mean, covariance=cov, **kwargs)
