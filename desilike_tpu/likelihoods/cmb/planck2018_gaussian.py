@@ -252,6 +252,13 @@ def read_planck2018_chain(basename='base_plikHM_TTTEEE_lowl_lowE_lensing',
         chain[convert_planck2018_params.get(n, n)] = samples[:, i]
     chain['aweight'] = np.asarray(w, dtype='f8')
     chain['logposterior'] = lnpost
+    if weights == 'cmb_only':
+        # importance-unweight the non-CMB datasets (reference
+        # planck2018_gaussian.py:59-63): exp(0.5 * sum of non-CMB chi2)
+        def weights(chain):
+            return 1. / np.exp(np.asarray(chain['logposterior'])
+                               + 0.5 * np.asarray(chain['chi2_prior'])
+                               + 0.5 * np.asarray(chain['chi2_CMB']))
     if weights is not None:
         chain['aweight'] = chain['aweight'] * np.asarray(weights(chain), dtype='f8')
     if params is not None:

@@ -630,6 +630,30 @@ def test_fullgrid_planck2018_gaussian(tmp_path):
     assert sub.names() == ['n_s', 'aweight', 'logposterior']
 
 
+def test_read_planck2018_chain_cmb_only(tmp_path):
+    """weights='cmb_only' importance-unweights the non-CMB chi2: with
+    logpost = -(chi2_CMB + chi2_other + chi2_prior)/2 the reweighted
+    aweight is exp(chi2_other/2) times the original."""
+    from desilike_tpu.likelihoods.cmb import read_planck2018_chain
+    basename = 'base_plikHM_TT'
+    run = tmp_path / 'base' / 'plikHM_TT'
+    run.mkdir(parents=True)
+    with open(run / (basename + '.paramnames'), 'w') as f:
+        f.write('H0 y\nchi2_prior c\nchi2_CMB d\nchi2_BAO e\n')
+    rng = np.random.default_rng(2)
+    n = 50
+    chi2_prior = rng.random(n)
+    chi2_cmb = 10. + rng.random(n)
+    chi2_bao = 2. + rng.random(n)
+    lnpost_neg = 0.5 * (chi2_prior + chi2_cmb + chi2_bao)
+    np.savetxt(run / (basename + '_1.txt'),
+               np.column_stack([np.ones(n), lnpost_neg, 67. + rng.standard_normal(n),
+                                chi2_prior, chi2_cmb, chi2_bao]))
+    ch = read_planck2018_chain(basename, data_dir=str(tmp_path), weights='cmb_only')
+    np.testing.assert_allclose(np.asarray(ch['aweight']),
+                               np.exp(0.5 * chi2_bao), rtol=1e-10)
+
+
 def test_clik_name_aliases():
     from desilike_tpu.likelihoods.cmb import (
         TTTEEEHighlPlanck2018PlikLiteLikelihood, TTLowlPlanck2018ClikLikelihood,
