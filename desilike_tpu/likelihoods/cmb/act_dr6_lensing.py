@@ -61,6 +61,7 @@ class ACTDR6LensingLikelihood(BaseGaussianLikelihood):
 
     name = 'ACTDR6Lensing'
     installer_section = 'ACTDR6LensingLikelihood'
+    data_version = 'v1.2'
     trim_ellmax = 2998
     _params = dict(BaseGaussianLikelihood._params)
     _params.update({'Alens': dict(value=1., fixed=True, latex=r'A_\mathrm{lens}')})
@@ -70,6 +71,14 @@ class ACTDR6LensingLikelihood(BaseGaussianLikelihood):
         if data is None and data_dir is None:
             from ...install import installed_data_dir
             data_dir = installed_data_dir(self.installer_section)
+            if data_dir is not None:
+                # the reference installs the product under a version
+                # subdirectory (ref act_dr6_lensing.py:110 resolves
+                # <section>/<version>); prefer it, fall back to the bare
+                # section directory
+                versioned = os.path.join(data_dir, self.data_version)
+                if os.path.isdir(versioned):
+                    data_dir = versioned
         if data is None and data_dir is not None:
             data = read_act_dr6_data(data_dir, variant=variant, lens_only=lens_only)
         if data is None:

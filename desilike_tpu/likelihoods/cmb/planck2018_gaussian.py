@@ -214,21 +214,24 @@ def planck2018_base_fn(basename, data_dir=None):
 def read_getdist_chains(chain_fn):
     """Read getdist-format chain text files ``<chain_fn>_<i>.txt`` (columns:
     weight, -lnpost, params...) with names from ``<chain_fn>.paramnames``;
-    returns (names, samples (nsamples, nparams), weights)."""
+    returns (names, samples (nsamples, nparams), weights, logposterior).
+    Names keep getdist's trailing ``*`` derived-parameter marker so callers
+    can tell sampled from derived columns; logposterior is the negated
+    second column (chain files are parsed exactly once)."""
     import glob
     names = []
     with open(chain_fn + '.paramnames') as f:
         for line in f:
             parts = line.strip().split(None, 1)
             if parts:
-                names.append(parts[0].rstrip('*'))
+                names.append(parts[0])
     fns = sorted(glob.glob(chain_fn + '_*.txt')) or ([chain_fn + '.txt']
                  if os.path.exists(chain_fn + '.txt') else [])
     if not fns:
         raise IOError('no chain files matching {}_*.txt'.format(chain_fn))
     blocks = [np.atleast_2d(np.loadtxt(fn)) for fn in fns]
     arr = np.concatenate(blocks, axis=0)
-    return names, arr[:, 2:2 + len(names)], arr[:, 0]
+    return names, arr[:, 2:2 + len(names)], arr[:, 0], -arr[:, 1]
 
 
 def read_planck2018_chain(basename='base_plikHM_TTTEEE_lowl_lowE_lensing',
@@ -239,26 +242,38 @@ def read_planck2018_chain(basename='base_plikHM_TTTEEE_lowl_lowE_lensing',
     (unknown columns keep their getdist names), the getdist weight column
     becomes 'aweight' and -lnpost becomes 'logposterior'. ``weights`` is an
     optional callable on the Chain returning extra importance weights;
-    ``params`` selects/orders the returned columns (framework names)."""
+    ``params`` selects/orders the returned columns (framework names).
+
+    The returned Chain records which columns were sampled (no getdist ``*``
+    derived marker) in ``chain.attrs['sampled_params']``."""
     from ...samples.chain import Chain
+    if weights is not None and weights != 'cmb_only' and not callable(weights):
+        raise ValueError("weights must be a callable on the Chain or 'cmb_only', "
+                         'got {!r}'.format(weights))
     chain_fn, _ = planck2018_base_fn(basename, data_dir=data_dir)
-    names, samples, w = read_getdist_chains(chain_fn)
-    # the second getdist column is -ln(posterior)
-    import glob
-    fns = sorted(glob.glob(chain_fn + '_*.txt')) or [chain_fn + '.txt']
-    lnpost = -np.concatenate([np.atleast_2d(np.loadtxt(fn))[:, 1] for fn in fns])
+    names, samples, w, lnpost = read_getdist_chains(chain_fn)
     chain = Chain()
+    sampled = []
     for i, n in enumerate(names):
-        chain[convert_planck2018_params.get(n, n)] = samples[:, i]
+        derived = n.endswith('*')
+        fname = convert_planck2018_params.get(n.rstrip('*'), n.rstrip('*'))
+        chain[fname] = samples[:, i]
+        if not derived:
+            sampled.append(fname)
     chain['aweight'] = np.asarray(w, dtype='f8')
     chain['logposterior'] = lnpost
+    chain.attrs['sampled_params'] = sampled
     if weights == 'cmb_only':
         # importance-unweight the non-CMB datasets (reference
-        # planck2018_gaussian.py:59-63): exp(0.5 * sum of non-CMB chi2)
+        # planck2018_gaussian.py:59-63 and :83): the log-weight is the
+        # non-CMB half-chi2, lw = logposterior + (chi2_prior + chi2_CMB)/2;
+        # its mean is removed BEFORE exponentiating so grid chains with
+        # large non-CMB chi2 (SN compilations, chi2 ~ 1e3) cannot overflow.
         def weights(chain):
-            return 1. / np.exp(np.asarray(chain['logposterior'])
-                               + 0.5 * np.asarray(chain['chi2_prior'])
-                               + 0.5 * np.asarray(chain['chi2_CMB']))
+            lw = (np.asarray(chain['logposterior'])
+                  + 0.5 * np.asarray(chain['chi2_prior'])
+                  + 0.5 * np.asarray(chain['chi2_CMB']))
+            return np.exp(-(lw - np.mean(lw)))
     if weights is not None:
         chain['aweight'] = chain['aweight'] * np.asarray(weights(chain), dtype='f8')
     if params is not None:
@@ -279,18 +294,26 @@ class FullGridPlanck2018GaussianLikelihood(BasePlanck2018GaussianLikelihood):
     chains (reference planck2018_gaussian.py:230): pick the run with
     ``basename`` (e.g. 'base_mnu_plikHM_TTTEEE_lowl_lowE_lensing'); the
     mean/covariance come from the published ``dist/`` summary products
-    (``source='covmat'``) or are computed from the chains themselves
-    (``source='chains'``, optional ``weights=`` callable on the
-    :class:`Chain` returning reweighting factors — the reference's
-    cmb-only importance unweighting hook)."""
+    (``source='covmat'``, the default) or are computed from the chains
+    themselves (``source='chains'``, optional ``weights=`` callable on the
+    :class:`Chain` returning reweighting factors — or ``'cmb_only'``, the
+    reference's importance unweighting of non-CMB datasets). Passing
+    ``weights`` with ``source=None`` selects the chains source; combining
+    ``weights`` with ``source='covmat'`` is an error (the dist/ products
+    cannot be reweighted)."""
 
     name = 'FullGridPlanck2018Gaussian'
 
     def initialize(self, cosmo=None, basename='base_plikHM_TTTEEE_lowl_lowE_lensing',
-                   data_dir=None, source='covmat', quantities=None, weights=None,
+                   data_dir=None, source=None, quantities=None, weights=None,
                    **kwargs):
+        if source is None:
+            source = 'chains' if weights is not None else 'covmat'
         chain_fn, dist_fn = planck2018_base_fn(basename, data_dir=data_dir)
         if source == 'covmat':
+            if weights is not None:
+                raise ValueError("weights= requires source='chains' (the "
+                                 "published dist/ covmat cannot be reweighted)")
             super().initialize(cosmo=cosmo, dist_fn=dist_fn, quantities=quantities,
                                **kwargs)
             return
@@ -298,8 +321,13 @@ class FullGridPlanck2018GaussianLikelihood(BasePlanck2018GaussianLikelihood):
             raise ValueError("source must be 'covmat' or 'chains'")
         chain = read_planck2018_chain(basename, data_dir=data_dir, weights=weights)
         if quantities is None:
+            # default to the SAMPLED parameters only: real grid chains carry
+            # derived columns that are exact linear combinations of others
+            # (Omega_m + Omega_Lambda = 1, H0 = 100 h, ...) which would make
+            # the empirical covariance singular
             known = set(convert_planck2018_params.values())
-            quantities = [n for n in chain.names() if n in known]
+            sampled = chain.attrs.get('sampled_params') or chain.names()
+            quantities = [n for n in sampled if n in known]
         sub, _ = chain.points(list(quantities))
         w = chain.weight.reshape(-1)
         mean = np.average(sub, axis=0, weights=w)

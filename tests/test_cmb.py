@@ -415,6 +415,22 @@ def test_installer_section_resolution(tmp_path, monkeypatch):
     assert np.isfinite(float(like.loglikelihood))
 
 
+def test_act_dr6_version_subdir_resolution(tmp_path, monkeypatch):
+    """A product installed per the reference convention — under a
+    <section>/v1.2 version subdirectory (ref act_dr6_lensing.py:110) — is
+    found when the bare section directory holds no files."""
+    from desilike_tpu.install import DATA_DIR_ENV
+    from desilike_tpu.likelihoods.cmb.act_dr6_lensing import write_act_dr6_data
+    monkeypatch.setenv(DATA_DIR_ENV, str(tmp_path))
+    sect = tmp_path / 'ACTDR6LensingLikelihood' / 'v1.2'
+    data = act_fixture()
+    data['covariance'] = np.linalg.inv(data['cinv'])
+    write_act_dr6_data(str(sect), data, variant='act_baseline')
+    like = ACTDR6LensingLikelihood(theory=ClTheory(tables=TABLES))
+    run_once(like, {'Alens': 1.})
+    assert np.isfinite(float(like.loglikelihood))
+
+
 # --- hillipop ---
 
 def hillipop_fixture(modes=('TT', 'EE', 'TE')):
@@ -604,16 +620,36 @@ def test_fullgrid_planck2018_gaussian(tmp_path):
             f.write('{} {} {}\n'.format(nm, m, s))
     chain_fn, dist_fn = planck2018_base_fn(basename, data_dir=str(tmp_path))
     assert dist_fn == str(dist / basename)
-    rnames, rsamp, rw = read_getdist_chains(chain_fn)
-    assert rnames == names and rsamp.shape == (n, 3)
+    rnames, rsamp, rw, rlnp = read_getdist_chains(chain_fn)
+    # names keep the getdist derived marker; lnpost = -column 1
+    assert rnames == ['omegabh2', 'omegach2*', 'ns'] and rsamp.shape == (n, 3)
+    np.testing.assert_allclose(rlnp, 0.)
     like_cov = FullGridPlanck2018GaussianLikelihood(
         basename=basename, data_dir=str(tmp_path))
+    # chains source defaults to the SAMPLED parameters only (omegach2 is
+    # starred as derived in the fixture paramnames)
     like_ch = FullGridPlanck2018GaussianLikelihood(
         basename=basename, data_dir=str(tmp_path), source='chains')
+    assert like_ch.pipeline is not None
+    assert like_ch.quantities == ['omega_b', 'n_s']
+    like_ch = FullGridPlanck2018GaussianLikelihood(
+        basename=basename, data_dir=str(tmp_path), source='chains',
+        quantities=['omega_b', 'omega_cdm', 'n_s'])
     assert like_cov.pipeline is not None and like_ch.pipeline is not None
     assert like_cov.quantities == like_ch.quantities == ['omega_b', 'omega_cdm', 'n_s']
     np.testing.assert_allclose(np.asarray(like_ch.flatdata),
                                np.asarray(like_cov.flatdata), rtol=2e-3)
+    # weights= only makes sense for the chains source: explicit covmat raises,
+    # source=None resolves to 'chains'
+    with pytest.raises(ValueError):
+        FullGridPlanck2018GaussianLikelihood(
+            basename=basename, data_dir=str(tmp_path), source='covmat',
+            weights=lambda c: np.ones(len(np.asarray(c['n_s'])))).pipeline
+    like_w = FullGridPlanck2018GaussianLikelihood(
+        basename=basename, data_dir=str(tmp_path),
+        weights=lambda c: np.ones(len(np.asarray(c['n_s']))))
+    assert like_w.pipeline is not None
+    assert like_w.quantities == ['omega_b', 'n_s']
     lp = like_cov.logpost_fn()({p: jnp.asarray(like_cov.pipeline.params[p].value)
                                 for p in like_cov.pipeline.varied_params.names()})[0]
     assert np.isfinite(float(lp))
@@ -633,25 +669,49 @@ def test_fullgrid_planck2018_gaussian(tmp_path):
 def test_read_planck2018_chain_cmb_only(tmp_path):
     """weights='cmb_only' importance-unweights the non-CMB chi2: with
     logpost = -(chi2_CMB + chi2_other + chi2_prior)/2 the reweighted
-    aweight is exp(chi2_other/2) times the original."""
+    aweight is proportional to exp(chi2_other/2) — with the mean log-weight
+    removed before exponentiating, so huge non-CMB chi2 (SN compilations,
+    chi2 ~ 2000) cannot overflow to inf."""
     from desilike_tpu.likelihoods.cmb import read_planck2018_chain
-    basename = 'base_plikHM_TT'
-    run = tmp_path / 'base' / 'plikHM_TT'
-    run.mkdir(parents=True)
-    with open(run / (basename + '.paramnames'), 'w') as f:
-        f.write('H0 y\nchi2_prior c\nchi2_CMB d\nchi2_BAO e\n')
-    rng = np.random.default_rng(2)
-    n = 50
-    chi2_prior = rng.random(n)
-    chi2_cmb = 10. + rng.random(n)
-    chi2_bao = 2. + rng.random(n)
-    lnpost_neg = 0.5 * (chi2_prior + chi2_cmb + chi2_bao)
-    np.savetxt(run / (basename + '_1.txt'),
-               np.column_stack([np.ones(n), lnpost_neg, 67. + rng.standard_normal(n),
-                                chi2_prior, chi2_cmb, chi2_bao]))
-    ch = read_planck2018_chain(basename, data_dir=str(tmp_path), weights='cmb_only')
-    np.testing.assert_allclose(np.asarray(ch['aweight']),
-                               np.exp(0.5 * chi2_bao), rtol=1e-10)
+
+    def write_grid(tmp_path, basename, rundir, chi2_bao):
+        run = tmp_path / rundir.split('/')[0] / rundir.split('/')[1]
+        run.mkdir(parents=True, exist_ok=True)
+        with open(run / (basename + '.paramnames'), 'w') as f:
+            f.write('H0 y\nchi2_prior* c\nchi2_CMB* d\nchi2_BAO* e\n')
+        rng = np.random.default_rng(2)
+        n = len(chi2_bao)
+        chi2_prior = rng.random(n)
+        chi2_cmb = 10. + rng.random(n)
+        lnpost_neg = 0.5 * (chi2_prior + chi2_cmb + chi2_bao)
+        np.savetxt(run / (basename + '_1.txt'),
+                   np.column_stack([np.ones(n), lnpost_neg,
+                                    67. + rng.standard_normal(n),
+                                    chi2_prior, chi2_cmb, chi2_bao]))
+
+    rng = np.random.default_rng(3)
+    chi2_bao = 2. + rng.random(50)
+    write_grid(tmp_path, 'base_plikHM_TT', 'base/plikHM_TT', chi2_bao)
+    ch = read_planck2018_chain('base_plikHM_TT', data_dir=str(tmp_path),
+                               weights='cmb_only')
+    expected = np.exp(0.5 * (chi2_bao - chi2_bao.mean()))
+    np.testing.assert_allclose(np.asarray(ch['aweight']), expected, rtol=1e-10)
+    # sampled-params bookkeeping: chi2_* columns are starred derived
+    assert ch.attrs['sampled_params'] == ['H0']
+    # overflow regression: chi2 ~ 2000 would give exp(1000) = inf without
+    # the zero-lag removal
+    chi2_sn = 2000. + rng.random(50)
+    write_grid(tmp_path, 'base_plikHM_TTTEEE', 'base/plikHM_TTTEEE', chi2_sn)
+    ch = read_planck2018_chain('base_plikHM_TTTEEE', data_dir=str(tmp_path),
+                               weights='cmb_only')
+    w = np.asarray(ch['aweight'])
+    assert np.all(np.isfinite(w)) and w.max() < 1e30
+    np.testing.assert_allclose(w, np.exp(0.5 * (chi2_sn - chi2_sn.mean())),
+                               rtol=1e-8)
+    # invalid weights spec fails fast with a clear error
+    with pytest.raises(ValueError):
+        read_planck2018_chain('base_plikHM_TT', data_dir=str(tmp_path),
+                              weights='not_a_mode')
 
 
 def test_clik_name_aliases():
