@@ -289,3 +289,104 @@ class BOBYQAProfiler(ScipyProfiler):
     def __init__(self, likelihood, **kwargs):
         kwargs.setdefault('method', 'powell')
         super().__init__(likelihood, **kwargs)
+
+
+# --- tier-2 aliases: reference base-class / container / module names -------
+#
+# Plain assignments (identity-preserving: isinstance checks against the
+# reference name see the canonical class). Each line states the reference
+# definition site and what plays its role here. Names deliberately NOT
+# provided (no meaningful equivalent in a jit-by-default, MPI-free design):
+# CurrentMPIComm/TaskManager (desilike/mpi.py — parallel.distributed + mesh
+# sharding replace the comm layer), JittedCalculator (everything is jitted),
+# Monitor (Pipeline.profile_speed), ParameterConfig/ParameterCollectionConfig/
+# YamlLoader (io.py's YAML dialect feeds plain dicts), Info (init metadata is
+# the InitConfig), FastFisher (analytic marginalization is fused into
+# likelihoods.base), and the cosmoprimo Section shims Background/
+# Thermodynamics/Primordial/Fourier/BaseExternalEngine (host cosmology enters
+# through Cosmology(engine='external') + Pipeline.external_values instead).
+
+from .core.calculator import Calculator, InitConfig  # noqa: E402
+from .core.pipeline import Pipeline  # noqa: E402
+from .parameters import (Prior, ParameterCollection, DerivArray,  # noqa: E402
+                         ParameterCovariance, ParameterPrecision)
+from .fisher import PriorFisher  # noqa: E402
+from .samplers.base import BasePosteriorSampler  # noqa: E402
+from .theories.base import (BaseTheoryPowerSpectrumMultipoles, WedgesMixin,  # noqa: E402
+                            BaseTheoryCorrelationFunctionFromPowerSpectrumMultipoles)
+from .theories.full_shape import (BaseTracerPowerSpectrumMultipoles,  # noqa: E402
+                                  EFTLikeKaiserTracerPowerSpectrumMultipoles)
+from .theories.bao import ResummedBAOWigglesPowerSpectrumMultipoles  # noqa: E402
+from .theories.tns import TNSTracerPowerSpectrumMultipoles  # noqa: E402
+from .theories.weak_lensing import DESY3Theory  # noqa: E402
+from .observables.fiber_collisions import SystematicTemplatePowerSpectrumMultipoles  # noqa: E402
+from .likelihoods.cmb.hillipop import BaseHillipopLikelihood, FgComponent  # noqa: E402
+from .likelihoods.cmb.planck2018 import BasePlanck2018Likelihood  # noqa: E402
+
+# core runtime (reference base.py:1119, 387; samplers/base.py:409)
+BaseCalculator = Calculator
+BasePipeline = Pipeline
+BaseBatchPosteriorSampler = BasePosteriorSampler  # run()/check() batching is built in
+
+# parameter layer (reference parameter.py:1905, 405, 1038, 2527, 2820)
+ParameterPrior = Prior
+ParameterArray = DerivArray  # ndarray + Deriv-keyed derivative blocks
+BaseParameterCollection = ParameterCollection
+BaseParameterMatrix = ParameterCovariance
+
+# theory bases (reference theories/galaxy_clustering/*.py)
+BasePrimordialCosmology = Cosmology  # primordial_cosmology.py:25
+
+
+class BaseTheoryPowerSpectrumMultipolesFromWedges(BaseTheoryPowerSpectrumMultipoles, WedgesMixin):
+    """Reference galaxy_clustering/base.py:193 — P_l(k) built by mu-quadrature
+    over wedges; here the quadrature/Legendre projection lives in WedgesMixin."""
+
+
+BaseTracerCorrelationFunctionFromPowerSpectrumMultipoles = \
+    BaseTheoryCorrelationFunctionFromPowerSpectrumMultipoles  # base.py:46
+BasePTCorrelationFunctionMultipoles = \
+    BaseTheoryCorrelationFunctionFromPowerSpectrumMultipoles  # full_shape.py:330
+BaseTracerTheory = Calculator  # full_shape.py:59 — namespacing lives on Calculator
+BaseTracerTwoPointTheory = BaseTracerPowerSpectrumMultipoles  # full_shape.py:136
+BaseTracerThreePointTheory = TreeLevelBispectrumMultipoles  # full_shape.py (bispectrum base)
+BaseEFTLikeTracerPowerSpectrumMultipoles = EFTLikeKaiserTracerPowerSpectrumMultipoles  # full_shape.py:577
+BasePowerSpectrumExtractor = Calculator  # power_template.py:25 — extractors subclass Calculator
+BaseSystematicTemplateMultipoles = SystematicTemplatePowerSpectrumMultipoles  # window.py:1275
+ResummedPowerSpectrumWiggles = ResummedBAOWigglesPowerSpectrumMultipoles  # bao.py:165 — Sigma
+# integrals are computed inside the model rather than in a separate node
+TNSPowerSpectrumMultipoles = TNSTracerPowerSpectrumMultipoles  # full_shape.py:836 — the
+# non-tracer/tracer split is folded into one class (bias enters the same trace)
+
+# non-tracer 1-loop wrapper names (reference full_shape.py:1229/1502/1647/2070/2301)
+BaseVelocileptorsPowerSpectrumMultipoles = _OneLoopPowerAlias
+BaseVelocileptorsTracerPowerSpectrumMultipoles = _OneLoopPowerAlias
+BaseVelocileptorsCorrelationFunctionMultipoles = _OneLoopCorrelationAlias
+BaseVelocileptorsTracerCorrelationFunctionMultipoles = _OneLoopCorrelationAlias
+LPTVelocileptorsPowerSpectrumMultipoles = _OneLoopPowerAlias
+REPTVelocileptorsPowerSpectrumMultipoles = _OneLoopPowerAlias
+FOLPSPowerSpectrumMultipoles = _OneLoopPowerAlias
+FOLPSAXPowerSpectrumMultipoles = _OneLoopPowerAlias
+PyBirdPowerSpectrumMultipoles = _OneLoopPowerAlias
+PyBirdCorrelationFunctionMultipoles = _OneLoopCorrelationAlias
+
+# observables / likelihoods
+DESY3Observable = DESY3Theory  # observables/weak_lensing/des_y3.py:7 — the host-eval
+# node carries both the theory and data-vector roles here
+HillipopLikelihood = BaseHillipopLikelihood  # cmb/hillipop.py base name
+fgmodel = FgComponent  # cmb/hillipop.py:26 foreground-component base
+BasePlanck2018ClikLikelihood = BasePlanck2018Likelihood  # planck2018_clik.py:122 — the
+# clik-era class names alias the native reimplementations (see likelihoods.cmb)
+
+# samplers / services
+BaseDynestySampler = _NestedAlias  # dynesty.py base
+PriorCalculator = PriorFisher  # fisher.py:14 — prior curvature enters Fisher directly
+
+# exception names (reference io.py/parameter.py/base.py/install.py): the
+# framework raises the standard exceptions these referred to, so the aliases
+# bind to them — `except ParameterError:` keeps catching what it caught
+ConfigError = ValueError
+ParameterError = ValueError
+ParameterPriorError = ValueError
+PipelineError = RuntimeError
+InstallError = RuntimeError

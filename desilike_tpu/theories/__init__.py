@@ -12,7 +12,9 @@ from .bao import (DampedBAOWigglesPowerSpectrumMultipoles, SimpleBAOWigglesPower
                   DampedBAOWigglesTracerPowerSpectrumMultipoles, SimpleBAOWigglesTracerPowerSpectrumMultipoles,
                   ResummedBAOWigglesTracerPowerSpectrumMultipoles, FlexibleBAOWigglesTracerPowerSpectrumMultipoles,
                   DampedBAOWigglesTracerCorrelationFunctionMultipoles, SimpleBAOWigglesTracerCorrelationFunctionMultipoles,
-                  ResummedBAOWigglesTracerCorrelationFunctionMultipoles, FlexibleBAOWigglesTracerCorrelationFunctionMultipoles)
+                  ResummedBAOWigglesTracerCorrelationFunctionMultipoles, FlexibleBAOWigglesTracerCorrelationFunctionMultipoles,
+                  DampedBAOWigglesCorrelationFunctionMultipoles, SimpleBAOWigglesCorrelationFunctionMultipoles,
+                  ResummedBAOWigglesCorrelationFunctionMultipoles, FlexibleBAOWigglesCorrelationFunctionMultipoles)
 from .full_shape import (KaiserPowerSpectrumMultipoles, KaiserTracerPowerSpectrumMultipoles,
                          EFTLikeKaiserTracerPowerSpectrumMultipoles, KaiserTracerCorrelationFunctionMultipoles,
                          EFTLikeKaiserTracerCorrelationFunctionMultipoles, SimpleTracerPowerSpectrumMultipoles)

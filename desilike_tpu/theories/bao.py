@@ -410,6 +410,64 @@ class FlexibleBAOWigglesTracerPowerSpectrumMultipoles(BaseBAOWigglesTracerPowerS
     _pt_cls = FlexibleBAOWigglesPowerSpectrumMultipoles
 
 
+class BaseBAOWigglesCorrelationFunctionMultipoles(BaseTheoryCorrelationFunctionFromPowerSpectrumMultipoles):
+    """Wiggle-only BAO xi_l(s) — no broadband (reference bao.py:766-857,
+    non-tracer classes): the FFTLog transform of the corresponding wiggle
+    P_l(k) model. The Tracer wrappers below add the s-power broadband."""
+
+    _pt_power_cls = None  # set by subclasses
+
+    @staticmethod
+    def _params(init):
+        # same pt-model params as the tracer wrapper, minus the broadband
+        # (reference bao.py:766-857 — non-tracer classes carry the model
+        # parameters; broadband lives on the Tracer wrappers)
+        params = dict(BaseBAOWigglesTracerPowerSpectrumMultipoles._params(init))
+        return {name: cfg for name, cfg in params.items() if not name.startswith('al')}
+
+    def initialize(self, s=None, ells=(0, 2), **kwargs):
+        super().initialize(s=s, power=self._pt_power_cls(), ells=ells, **kwargs)
+        # forward the model params to the power node (same pattern as the
+        # tracer wrappers, bao.py:329-338): this node keeps none.
+        for param in list(self.params):
+            if param.derived is not True:
+                self.power.init.params.set(param)
+                del self.params[param.name]
+        self.power.runtime_info.initialized = False
+
+    @property
+    def template(self):
+        return self.power.template
+
+
+class DampedBAOWigglesCorrelationFunctionMultipoles(BaseBAOWigglesCorrelationFunctionMultipoles):
+    """xi counterpart of :class:`DampedBAOWigglesPowerSpectrumMultipoles`
+    (reference bao.py:784)."""
+
+    _pt_power_cls = DampedBAOWigglesPowerSpectrumMultipoles
+
+
+class SimpleBAOWigglesCorrelationFunctionMultipoles(BaseBAOWigglesCorrelationFunctionMultipoles):
+    """xi counterpart of :class:`SimpleBAOWigglesPowerSpectrumMultipoles`
+    (reference bao.py:795)."""
+
+    _pt_power_cls = SimpleBAOWigglesPowerSpectrumMultipoles
+
+
+class ResummedBAOWigglesCorrelationFunctionMultipoles(BaseBAOWigglesCorrelationFunctionMultipoles):
+    """xi counterpart of :class:`ResummedBAOWigglesPowerSpectrumMultipoles`
+    (reference bao.py:806)."""
+
+    _pt_power_cls = ResummedBAOWigglesPowerSpectrumMultipoles
+
+
+class FlexibleBAOWigglesCorrelationFunctionMultipoles(BaseBAOWigglesCorrelationFunctionMultipoles):
+    """xi counterpart of :class:`FlexibleBAOWigglesPowerSpectrumMultipoles`
+    (reference bao.py:817)."""
+
+    _pt_power_cls = FlexibleBAOWigglesPowerSpectrumMultipoles
+
+
 class BaseBAOWigglesTracerCorrelationFunctionMultipoles(BaseTheoryCorrelationFunctionFromPowerSpectrumMultipoles):
     """BAO xi_l(s) with even-power broadband in s (reference bao.py:766+)."""
 

@@ -136,3 +136,41 @@ def test_cosmoprimo_host_engine_mapping():
     Pipeline(c).evaluate({})
     assert c.engine == 'eh99'
     assert np.isfinite(float(c.rs_drag()))
+
+
+def test_tier2_reference_names():
+    """Tier-2 reference names (base classes, containers, exceptions) resolve
+    to the canonical implementations — identity-preserving assignments."""
+    from desilike_tpu import compat
+    from desilike_tpu.core.calculator import Calculator
+    from desilike_tpu.core.pipeline import Pipeline
+    from desilike_tpu.parameters import (Prior, ParameterCollection,
+                                         ParameterCovariance, ParameterPrecision)
+    assert compat.BaseCalculator is Calculator
+    assert compat.BasePipeline is Pipeline
+    assert compat.ParameterPrior is Prior
+    assert compat.BaseParameterCollection is ParameterCollection
+    assert compat.BaseParameterMatrix is ParameterCovariance
+    assert ParameterPrecision is not None
+    # theory base names
+    from desilike_tpu.theories.base import (
+        BaseTheoryPowerSpectrumMultipoles,
+        BaseTheoryCorrelationFunctionFromPowerSpectrumMultipoles)
+    assert issubclass(compat.BaseTheoryPowerSpectrumMultipolesFromWedges,
+                      BaseTheoryPowerSpectrumMultipoles)
+    assert (compat.BaseTracerCorrelationFunctionFromPowerSpectrumMultipoles
+            is BaseTheoryCorrelationFunctionFromPowerSpectrumMultipoles)
+    from desilike_tpu.theories.tns import TNSTracerPowerSpectrumMultipoles
+    assert compat.TNSPowerSpectrumMultipoles is TNSTracerPowerSpectrumMultipoles
+    from desilike_tpu.theories.ept import EPTTracerPowerSpectrumMultipoles
+    for name in ('FOLPSAXPowerSpectrumMultipoles', 'REPTVelocileptorsPowerSpectrumMultipoles',
+                 'PyBirdPowerSpectrumMultipoles', 'BaseVelocileptorsPowerSpectrumMultipoles'):
+        assert issubclass(getattr(compat, name), EPTTracerPowerSpectrumMultipoles)
+    # likelihood / sampler names
+    from desilike_tpu.likelihoods.cmb.hillipop import BaseHillipopLikelihood
+    assert compat.HillipopLikelihood is BaseHillipopLikelihood
+    from desilike_tpu.samplers.nested import NestedSampler
+    assert issubclass(compat.BaseDynestySampler, NestedSampler)
+    # exception aliases bind to what the framework actually raises
+    assert compat.ParameterError is ValueError
+    assert compat.PipelineError is RuntimeError

@@ -115,6 +115,47 @@ def test_parameter_covariance_container():
     np.testing.assert_allclose(back.view(), cov[np.ix_([2, 0], [2, 0])], rtol=1e-10)
 
 
+def test_parameter_precision_container():
+    """ParameterPrecision (reference parameter.py:2820): dual algebra to the
+    covariance (restriction = conditioning), precision addition for
+    independent constraints, covariance round-trip, save/load."""
+    from desilike_tpu.parameters import ParameterCovariance, ParameterPrecision
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(3, 3))
+    cov = A @ A.T + 3. * np.eye(3)
+    prec = np.linalg.inv(cov)
+    names = ['a', 'b', 'c']
+    pp = ParameterPrecision(prec, names, center=[1., 2., 3.])
+    # restriction of a precision == conditioning == covariance .fix()
+    pc = ParameterCovariance(cov, names, center=[1., 2., 3.])
+    np.testing.assert_allclose(np.linalg.inv(pp.view(['a', 'c'])),
+                               pc.fix(['b']).view(), rtol=1e-10)
+    # round-trips (marginalization happens on the covariance side)
+    np.testing.assert_allclose(pp.to_covariance().view(), cov, rtol=1e-10)
+    np.testing.assert_allclose(pp.to_covariance(['a', 'c']).view(),
+                               cov[np.ix_([0, 2], [0, 2])], rtol=1e-10)
+    np.testing.assert_allclose(pc.to_precision().view(), prec, rtol=1e-10)
+    assert pp.fom() == pytest.approx(np.linalg.det(prec) ** 0.5)
+    # two independent Gaussians on overlapping params: precisions add,
+    # centers combine precision-weighted
+    p1 = ParameterPrecision(np.array([[4.]]), ['a'], center=[0.])
+    p2 = ParameterPrecision(np.array([[4., 0.], [0., 1.]]), ['a', 'b'],
+                            center=[1., 5.])
+    tot = p1 + p2
+    assert tot.names() == ['a', 'b']
+    np.testing.assert_allclose(tot.view(), [[8., 0.], [0., 1.]])
+    np.testing.assert_allclose(tot.center, [0.5, 5.])
+    # fisher hand-off keeps the precision as -hessian
+    np.testing.assert_allclose(pp.to_fisher().precision, prec, rtol=1e-10)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        fn = os.path.join(d, 'pp.npz')
+        pp.save(fn)
+        loaded = ParameterPrecision.load(fn)
+        np.testing.assert_allclose(loaded.view(), prec)
+        np.testing.assert_allclose(loaded.center, [1., 2., 3.])
+
+
 def test_parameter_covariance_from_chain():
     from desilike_tpu.parameters import ParameterCovariance
     from desilike_tpu.samples.chain import Chain

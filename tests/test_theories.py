@@ -102,6 +102,24 @@ def test_bao_correlation_function():
     assert peak_region.max() > outside.max()
 
 
+def test_bao_correlation_function_nontracer():
+    """Wiggle-only (non-tracer) xi classes (reference bao.py:766-857): no
+    broadband parameters, and at default parameters they match the tracer
+    wrapper (whose broadband coefficients default to 0)."""
+    from desilike_tpu.theories import (DampedBAOWigglesCorrelationFunctionMultipoles,
+                                       ResummedBAOWigglesCorrelationFunctionMultipoles)
+    s = np.linspace(30., 150., 41)
+    plain = DampedBAOWigglesCorrelationFunctionMultipoles(ells=(0, 2), s=s)
+    assert not any(p.basename.startswith('al') for p in plain.pipeline.params)
+    corr = np.asarray(plain.pipeline.evaluate({'b1': 2.0}))
+    tracer = DampedBAOWigglesTracerCorrelationFunctionMultipoles(ells=(0, 2), s=s)
+    ref = np.asarray(tracer.pipeline.evaluate({'b1': 2.0}))
+    np.testing.assert_allclose(corr, ref, rtol=1e-6)
+    resummed = ResummedBAOWigglesCorrelationFunctionMultipoles(ells=(0,), s=s)
+    rc = np.asarray(resummed.pipeline.evaluate({'b1': 2.0}))
+    assert rc.shape == (1, 41) and np.isfinite(rc).all()
+
+
 def test_jit_consistency():
     theory = DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0,), k=np.linspace(0.02, 0.3, 29))
     pipe = theory.pipeline
