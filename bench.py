@@ -59,7 +59,7 @@ def build():
         pipe = like.pipeline
         fn = like.logpost_fn()
 
-        batch = 4096
+        batch = int(os.environ.get('DESILIKE_TPU_BENCH_BATCH', 4096))
         rng = np.random.default_rng(0)
         values = {}
         for p in pipe.varied_params:
@@ -70,18 +70,48 @@ def build():
 
 
 def measure(fn, values, batch):
+    """Sustained device throughput, measured with the repetition loop INSIDE
+    the compiled program (lax.scan): one dispatch, so tunnel RTT and host
+    dispatch overhead cannot inflate (or deflate) the number. Each scan
+    iteration perturbs the inputs by an iteration-dependent epsilon and the
+    outputs are sum-reduced into the carry, so XLA cannot hoist the body out
+    of the loop or elide iterations. (Rounds 1-2 timed 20 sequential host
+    dispatches through the remote tunnel — latency-bound at ~200 ms/call;
+    the same methodology on the round-4 code measured 122M evals/s, i.e.
+    ~33 us/call, already below any plausible RTT, so the scan form is the
+    honest confirmation.)"""
+    from jax import lax
     values = {k: jnp.asarray(v) for k, v in values.items()}
-    vfn = jax.jit(jax.vmap(lambda v: fn(v)[0]))
-    # warmup/compile
-    out = vfn(values)
-    jax.block_until_ready(out)
+    vfn = jax.vmap(lambda v: fn(v)[0])
 
-    nrep = 20
-    t0 = time.perf_counter()
-    for _ in range(nrep):
-        out = vfn(values)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    import os
+    nrep = int(os.environ.get('DESILIKE_TPU_BENCH_NREP', 2000))
+
+    @jax.jit
+    def scan_fn(vals):
+        def body(carry, i):
+            eps = 1e-6 * (i.astype(jnp.float32) + 1.0)
+            pert = {k: v + eps for k, v in vals.items()}
+            return carry + jnp.sum(vfn(pert)), None
+        total, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(nrep))
+        return total
+
+    out = jax.block_until_ready(scan_fn(values))  # compile + warm
+    if not np.isfinite(float(out)):
+        raise RuntimeError('non-finite bench output: {}'.format(out))
+
+    def timed(ndispatch):
+        t0 = time.perf_counter()
+        for _ in range(ndispatch):
+            res = scan_fn(values)
+        jax.block_until_ready(res)
+        return time.perf_counter() - t0
+
+    # marginal cost between 1 and 4 dispatches: the single trailing
+    # block_until_ready RTT cancels in the difference
+    t1 = timed(1)
+    t4 = timed(4)
+    dt = max((t4 - t1) / 3, 1e-9)
     return nrep * batch / dt
 
 

@@ -16,7 +16,15 @@ from .core import Calculator, Pipeline
 from .core.collection import CollectionCalculator, vmap
 from .differentiation import Differentiation
 from .fisher import Fisher, LikelihoodFisher
+from .likelihoods.base import FisherGaussianLikelihood
+from .parameters import ParameterCovariance, ParameterPrecision
 from .io import BaseConfig, from_config
 from .install import Installer
 from .samples.chain import Chain
 from .samples.profiles import Profiles
+
+# reference top-level aliases (ref desilike/__init__.py re-exports)
+BaseCalculator = Calculator
+ParameterPrior = Prior
+from .parameters.samples import DerivArray as ParameterArray  # noqa: E402
+PipelineError = RuntimeError  # pipeline errors raise RuntimeError natively

@@ -69,6 +69,93 @@ def inject_from_cobaya(like, provider):
         node.inject(**gather_cobaya_products(provider, node))
 
 
+def desilike_to_cobaya_params(params):
+    """Convert parameters to a cobaya 'params' info dict (reference
+    bindings/cobaya/factory.py:392): uniform priors become {min, max}, norm
+    priors {dist: norm, loc, scale}; reference distributions and proposals
+    carry over. Parameter names have '.' namespacing flattened to '_'
+    (cobaya names cannot contain dots)."""
+    info = {}
+    for p in params:
+        entry = {'latex': p.latex}
+        prior = p.prior
+        if prior is not None:
+            if prior.dist == 'uniform' and np.isfinite(prior.limits).all():
+                entry['prior'] = {'min': prior.limits[0], 'max': prior.limits[1]}
+            elif prior.dist == 'norm':
+                entry['prior'] = {'dist': 'norm', 'loc': prior.loc, 'scale': prior.scale}
+        ref = p.ref
+        if ref is not None and ref.dist == 'norm':
+            entry['ref'] = {'dist': 'norm', 'loc': ref.loc, 'scale': ref.scale}
+        if p.proposal:
+            entry['proposal'] = p.proposal
+        info[p.name.replace('.', '_')] = entry
+    return info
+
+
+def CobayaLikelihoodFactory(factory, name_like=None, kw_like=None, module=None,
+                            params=None):
+    """Build a cobaya ``Likelihood`` subclass at runtime (reference
+    bindings/cobaya/factory.py:449) — the programmatic counterpart of
+    :class:`CobayaLikelihoodGenerator`, which writes the same wrapper to a
+    module file.
+
+    Parameters
+    ----------
+    factory : callable
+        Returns the desilike_tpu likelihood.
+    name_like : str, default=None
+        Class name (defaults to the factory's ``__name__``).
+    kw_like : dict, default=None
+        Keyword arguments passed to ``factory``.
+    module : str, default=None
+        Value for the generated class ``__module__`` (cobaya resolves
+        likelihood classes by module path).
+    params : bool, default=None
+        If true, attach the converted cobaya 'params' block as the class
+        ``params`` attribute (cobaya then samples them without an explicit
+        info block).
+    """
+    from cobaya.likelihood import Likelihood  # host import at call time
+    kw_like = dict(kw_like or {})
+    cache = {}
+
+    def _get_like():
+        if 'like' not in cache:
+            like = factory(**kw_like)
+            like._compiled_logpost = like.logpost_fn()
+            cache['like'] = like
+        return cache['like']
+
+    def initialize(self):
+        self._like = _get_like()
+        self._name_map = {p.name.replace('.', '_'): p.name
+                          for p in self._like.pipeline.varied_params}
+
+    def get_requirements(self):
+        return cobaya_requirements(self._like)
+
+    def logp(self, **params_values):
+        import jax.numpy as jnp
+        values = {self._name_map[k]: jnp.asarray(v)
+                  for k, v in params_values.items() if k in self._name_map}
+        if self._like.pipeline.external_nodes():
+            inject_from_cobaya(self._like, self.provider)
+            values.update(self._like.pipeline.external_values())
+        lp, aux = self._like._compiled_logpost(values)
+        # cobaya applies priors itself: hand back the bare loglikelihood
+        return float(aux['loglikelihood'])
+
+    d = {'initialize': initialize, 'get_requirements': get_requirements,
+         'logp': logp}
+    if module is not None:
+        d['__module__'] = module
+    if params:
+        d['params'] = desilike_to_cobaya_params(_get_like().pipeline.varied_params)
+    name_like = name_like or getattr(factory, '__name__', 'DesilikeTPULikelihood')
+    return type(name_like, (Likelihood,), d)
+
+
 class CobayaLikelihoodGenerator(BaseLikelihoodGenerator):
     """Generates a cobaya Likelihood class module + params info dict.
 
@@ -79,22 +166,7 @@ class CobayaLikelihoodGenerator(BaseLikelihoodGenerator):
 
     def params_info(self):
         """Cobaya 'params' block for the varied parameters."""
-        info = {}
-        for p in self.varied_params():
-            entry = {'latex': p.latex}
-            prior = p.prior
-            if prior is not None:
-                if prior.dist == 'uniform' and np.isfinite(prior.limits).all():
-                    entry['prior'] = {'min': prior.limits[0], 'max': prior.limits[1]}
-                elif prior.dist == 'norm':
-                    entry['prior'] = {'dist': 'norm', 'loc': prior.loc, 'scale': prior.scale}
-            ref = p.ref
-            if ref is not None and ref.dist == 'norm':
-                entry['ref'] = {'dist': 'norm', 'loc': ref.loc, 'scale': ref.scale}
-            if p.proposal:
-                entry['proposal'] = p.proposal
-            info[p.name.replace('.', '_')] = entry
-        return info
+        return desilike_to_cobaya_params(self.varied_params())
 
     def generate(self):
         params = self.varied_params()

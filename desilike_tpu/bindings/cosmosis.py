@@ -68,6 +68,58 @@ def inject_from_cosmosis(like, block):
         node.inject(**gather_cosmosis_products(block, node))
 
 
+def CosmoSISLikelihoodFactory(factory, name_like=None, kw_like=None, module=None):
+    """Build a cosmosis likelihood-calculator class at runtime (reference
+    bindings/cosmosis/factory.py:119) — the programmatic counterpart of
+    :class:`CosmoSISLikelihoodGenerator`. Instances are created by
+    ``setup(options)`` and evaluated by ``execute(block)``; the classmethod
+    ``build_module()`` returns the ``(setup, execute, cleanup)`` triple a
+    cosmosis module file exposes.
+
+    Sampled parameters are read from the block section 'desilike_tpu_params'
+    (names with '.' flattened to '_'); the log-likelihood is written to
+    ('likelihoods', '<name_like>_like'). Host cosmology (external nodes) is
+    injected from the block's distances / matter_power_lin / growth sections.
+    """
+    kw_like = dict(kw_like or {})
+    name_like = name_like or getattr(factory, '__name__', 'DesilikeTPULikelihood')
+
+    def __init__(self, options=None):
+        self.like = factory(**kw_like)
+        self.like._compiled_logpost = self.like.logpost_fn()
+        self._name_map = {p.name.replace('.', '_'): p.name
+                          for p in self.like.pipeline.varied_params}
+
+    def do_likelihood(self, block):
+        import jax.numpy as jnp
+        values = {name: jnp.asarray(block['desilike_tpu_params', key])
+                  for key, name in self._name_map.items()}
+        if self.like.pipeline.external_nodes():
+            inject_from_cosmosis(self.like, block)
+            values.update(self.like.pipeline.external_values())
+        lp, aux = self.like._compiled_logpost(values)
+        block['likelihoods', '{}_like'.format(name_like)] = float(aux['loglikelihood'])
+
+    def build_module(cls):
+        def setup(options):
+            return cls(options)
+
+        def execute(block, config):
+            config.do_likelihood(block)
+            return 0
+
+        def cleanup(config):
+            return 0
+
+        return setup, execute, cleanup
+
+    d = {'__init__': __init__, 'do_likelihood': do_likelihood,
+         'build_module': classmethod(build_module)}
+    if module is not None:
+        d['__module__'] = module
+    return type(name_like, (object,), d)
+
+
 class CosmoSISLikelihoodGenerator(BaseLikelihoodGenerator):
     """Generates a CosmoSIS module (setup/execute) reading the sampled
     parameters from the datablock and writing the log-likelihood."""

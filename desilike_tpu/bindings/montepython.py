@@ -45,6 +45,43 @@ def inject_from_classy(like, cosmo):
         node.inject(**gather_classy_products(cosmo, node))
 
 
+def MontePythonLikelihoodFactory(factory, name_like=None, kw_like=None, module=None):
+    """Build a MontePython ``Likelihood`` subclass at runtime (reference
+    bindings/montepython/factory.py:119) — the programmatic counterpart of
+    :class:`MontePythonLikelihoodGenerator`. Sampled parameters are read from
+    ``data.mcmc_parameters`` (names with '.' flattened to '_', declared as
+    ``use_nuisance``); the classy instance's cosmology is injected into the
+    pipeline's external nodes each ``loglkl`` call."""
+    from montepython.likelihood_class import Likelihood  # host import at call time
+    kw_like = dict(kw_like or {})
+    name_like = name_like or getattr(factory, '__name__', 'desilike_tpu_likelihood')
+
+    def __init__(self, path, data, command_line):
+        Likelihood.__init__(self, path, data, command_line)
+        self._like = factory(**kw_like)
+        self._like._compiled_logpost = self._like.logpost_fn()
+        self._name_map = {p.name.replace('.', '_'): p.name
+                          for p in self._like.pipeline.varied_params}
+        self.nuisance = self.use_nuisance = list(self._name_map)
+
+    def loglkl(self, cosmo, data):
+        import jax.numpy as jnp
+        values = {}
+        for key, name in self._name_map.items():
+            entry = data.mcmc_parameters[key]
+            values[name] = jnp.asarray(entry['current'] * entry['scale'])
+        if self._like.pipeline.external_nodes():
+            inject_from_classy(self._like, cosmo)
+            values.update(self._like.pipeline.external_values())
+        lp, aux = self._like._compiled_logpost(values)
+        return float(aux['loglikelihood'])
+
+    d = {'__init__': __init__, 'loglkl': loglkl}
+    if module is not None:
+        d['__module__'] = module
+    return type(name_like, (Likelihood,), d)
+
+
 class MontePythonLikelihoodGenerator(BaseLikelihoodGenerator):
     """Generates a MontePython likelihood module: a Likelihood subclass whose
     loglkl() reads the sampled (nuisance) parameters from data.mcmc_parameters

@@ -23,6 +23,29 @@ def is_path(obj):
     return isinstance(obj, (str, os.PathLike))
 
 
+def get_params_in_source(source, params=None):
+    """Parameter names available in a source (Chain / Profiles / Samples /
+    path), optionally restricted to ``params`` (reference
+    samples/__init__.py:108). Bookkeeping columns (logposterior, ...) are
+    excluded."""
+    from .samples.chain import Chain
+    from .samples.profiles import Profiles
+    if is_path(source):
+        source = Chain.load(source)
+    if isinstance(source, Profiles):
+        names = source.bestfit.names()
+    elif hasattr(source, 'names'):
+        names = source.names()
+    else:
+        names = list(source or [])
+    names = [n for n in names if n not in
+             ('logposterior', 'loglikelihood', 'logprior', 'aweight', 'fweight')]
+    if params is not None:
+        keep = [getattr(p, 'name', p) for p in params]
+        names = [n for n in names if n in keep]
+    return names
+
+
 def matrix_lininterp(xnew, xold):
     """(len(xold), len(xnew)) matrix M with f(xold) ~ M @ f(xnew): linear
     interpolation weights (reference utils.matrix_lininterp, used for window

@@ -9,6 +9,99 @@ from ..utils import BaseClass, is_sequence
 from ..parameters import ParameterCollection, Samples
 
 
+class ParameterBestFit(Samples):
+    """Best-fit container: :class:`Samples` with a log-posterior column
+    (reference profiles.py:15). One row per optimization start."""
+
+    @property
+    def logposterior(self):
+        return np.atleast_1d(np.asarray(self['logposterior']))
+
+    def argmax(self):
+        return int(np.argmax(self.logposterior))
+
+    def choice(self, index='argmax', params=None, return_type='dict'):
+        """Parameter values at the chosen start (default: highest
+        log-posterior). return_type 'dict' or 'nparray'."""
+        i = self.argmax() if isinstance(index, str) else int(index)
+        names = ([getattr(p, 'name', p) for p in params] if params is not None
+                 else self.names())
+        di = {n: float(np.atleast_1d(np.asarray(self[n]))[i]) for n in names}
+        if return_type == 'nparray':
+            return np.array(list(di.values()))
+        return di
+
+
+class ParameterProfiles(dict):
+    """1D profile scans: name -> (values, chi2) (reference profiles.py:445 —
+    there a Samples of (x, logposterior) columns; here the dict of per-name
+    scan arrays the profilers produce, with the same ``choice`` access)."""
+
+    def choice(self, params=None, return_type='dict'):
+        """Per-parameter profile minimum (the 1D best fit)."""
+        names = ([getattr(p, 'name', p) for p in params] if params is not None
+                 else list(self))
+        di = {}
+        for n in names:
+            x, chi2 = self[n]
+            di[n] = float(np.asarray(x)[int(np.argmin(np.asarray(chi2)))])
+        if return_type == 'nparray':
+            return np.array(list(di.values()))
+        return di
+
+    def interpolate(self, size=100):
+        """Densified scans by cubic interpolation (reference
+        ParameterContours.interpolate counterpart for 1D profiles)."""
+        new = ParameterProfiles()
+        for n, (x, chi2) in self.items():
+            x, chi2 = np.asarray(x), np.asarray(chi2)
+            xs = np.linspace(x[0], x[-1], int(size))
+            try:
+                from scipy.interpolate import CubicSpline
+                new[n] = (xs, CubicSpline(x, chi2)(xs))
+            except ImportError:
+                new[n] = (xs, np.interp(xs, x, chi2))
+        return new
+
+
+class ParameterGrid(dict):
+    """nD chi2 grid scans: name or (names) -> (points, chi2) (reference
+    profiles.py:503 ParameterGrid). ``choice`` returns the grid minimum."""
+
+    def choice(self, key=None):
+        """(point, chi2) at the grid minimum for ``key`` (default: the sole
+        entry)."""
+        if key is None:
+            if len(self) != 1:
+                raise ValueError('specify which grid: {}'.format(list(self)))
+            key = next(iter(self))
+        pts, chi2 = self[key]
+        i = int(np.argmin(np.asarray(chi2).ravel()))
+        pts = np.asarray(pts)
+        return (pts.reshape(-1, pts.shape[-1])[i] if pts.ndim > 1 else pts.ravel()[i],
+                float(np.asarray(chi2).ravel()[i]))
+
+
+class ParameterContours(dict):
+    """2D contour results keyed (name1, name2) (reference profiles.py:368 —
+    there keyed by confidence level; here by parameter pair, each entry
+    holding {'paths': {cl: [segments]}, 'grid': (g1, g2, chi2)}). ``paths``
+    normalizes any stored form; ``levels`` lists the confidence levels."""
+
+    def paths(self, pair):
+        """{cl: [(x, y), ...]} contour path segments, whichever of the
+        stored forms (flat legacy dict, single-tuple levels, {'paths': ...})
+        is present."""
+        entry = self[tuple(pair)]
+        if isinstance(entry, dict) and ('paths' in entry or 'grid' in entry):
+            entry = entry.get('paths', {})
+        return {cl: ([segs] if isinstance(segs, tuple) else list(segs))
+                for cl, segs in entry.items()}
+
+    def levels(self, pair):
+        return sorted(self.paths(pair))
+
+
 class Profiles(BaseClass):
     """Holds profiling results.
 
@@ -35,37 +128,40 @@ class Profiles(BaseClass):
 
     def __init__(self, params=None):
         self.params = ParameterCollection(params)
-        self.bestfit = Samples()
+        self.bestfit = ParameterBestFit()
         self.error = {}
         self.covariance = None
         self.interval = {}
-        self.profile = {}
-        self.contour = {}
-        self.grid = {}
+        self.profile = ParameterProfiles()
+        self.contour = ParameterContours()
+        self.grid = ParameterGrid()
         self.attrs = {}
 
     @property
     def start_size(self):
         return self.bestfit.shape[0] if self.bestfit.shape else 0
 
+    def _bestfit_typed(self):
+        """View of ``bestfit`` as :class:`ParameterBestFit` (users may assign
+        a plain :class:`Samples`)."""
+        bf = self.bestfit
+        if isinstance(bf, ParameterBestFit):
+            return bf
+        return ParameterBestFit(data={name: bf[name] for name in bf.names()},
+                                params=bf.params, attrs=bf.attrs)
+
     def argmax(self):
-        return int(np.argmax(np.asarray(self.bestfit['logposterior'])))
+        return self._bestfit_typed().argmax()
 
     def choice(self, index='argmax'):
         """Best single start as a dict name -> value."""
-        i = self.argmax() if index == 'argmax' else int(index)
-        return {name: float(np.asarray(self.bestfit[name])[i])
-                for name in self.bestfit.names()}
+        return self._bestfit_typed().choice(index=index)
 
     def contour_paths(self, pair):
         """{cl: [(x, y), ...]} contour path segments for a parameter pair,
         whichever of the stored forms (flat legacy dict, single-tuple
         levels, or {'paths': ...}) is present."""
-        entry = self.contour[tuple(pair)]
-        if isinstance(entry, dict) and ('paths' in entry or 'grid' in entry):
-            entry = entry.get('paths', {})
-        return {cl: ([segs] if isinstance(segs, tuple) else list(segs))
-                for cl, segs in entry.items()}
+        return ParameterContours(self.contour).paths(pair)
 
     def update(self, other):
         """Merge another Profiles' results (non-empty fields win)."""

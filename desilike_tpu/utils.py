@@ -229,3 +229,24 @@ def deep_eq(obj1, obj2):
         return bool(obj1 == obj2)
     except Exception:
         return obj1 is obj2
+
+
+def forward_module_getattr(*providers):
+    """Module ``__getattr__`` (PEP 562) forwarding attribute lookups to
+    ``providers`` (module paths, tried in order). Used by the reference
+    import-path shim modules (e.g. ``desilike_tpu.theories.galaxy_clustering``
+    mirrors reference ``desilike/theories/galaxy_clustering/__init__.py``)
+    so that reference-style imports resolve without duplicating exports."""
+    import importlib
+
+    def __getattr__(name):
+        if not name.startswith('_'):
+            for provider in providers:
+                mod = importlib.import_module(provider)
+                try:
+                    return getattr(mod, name)
+                except AttributeError:
+                    pass
+        raise AttributeError('module shim has no attribute {!r} (searched {})'
+                             .format(name, providers))
+    return __getattr__

@@ -197,6 +197,9 @@ class FakeBlock:
     def __getitem__(self, key):
         return self._d[key]
 
+    def __setitem__(self, key, value):
+        self._d[key] = value
+
     def has_value(self, section, name):
         return (section, name) in self._d
 
@@ -303,4 +306,94 @@ def test_montepython_host_cosmology_injection():
     lp_fid = logp(b1=2.0)
     inject_from_classy(like, FakeClassy({'h': 0.70, 'omega_cdm': 0.125}))
     lp_shift = logp(b1=2.0)
+    assert np.isfinite(lp_fid) and np.isfinite(lp_shift) and lp_shift < lp_fid - 1.0
+
+
+def test_cobaya_factory(monkeypatch):
+    """CobayaLikelihoodFactory (reference cobaya/factory.py:449): builds the
+    Likelihood class at runtime, params=True attaches the converted info,
+    logp responds to the injected provider cosmology."""
+    import sys, types
+    cob = types.ModuleType('cobaya')
+    lik = types.ModuleType('cobaya.likelihood')
+
+    class Likelihood:
+        pass
+
+    lik.Likelihood = Likelihood
+    cob.likelihood = lik
+    monkeypatch.setitem(sys.modules, 'cobaya', cob)
+    monkeypatch.setitem(sys.modules, 'cobaya.likelihood', lik)
+    from desilike_tpu.bindings import CobayaLikelihoodFactory
+    cls = CobayaLikelihoodFactory(external_fs_factory, params=True, module='my.bindings')
+    assert cls.__name__ == 'external_fs_factory' and cls.__module__ == 'my.bindings'
+    assert 'b1' in cls.params and 'prior' in cls.params['b1']
+    L = cls()
+    L.initialize()
+    assert 'Pk_grid' in L.get_requirements()
+    L.provider = FakeProvider()
+    lp0 = L.logp(b1=2.0)
+    L.provider = FakeProvider({'h': 0.70, 'omega_cdm': 0.125})
+    lp1 = L.logp(b1=2.0)
+    assert np.isfinite(lp0) and np.isfinite(lp1) and lp0 > lp1
+
+
+def test_desilike_to_cobaya_params():
+    from desilike_tpu.bindings import desilike_to_cobaya_params
+    like = bao_factory()
+    info = desilike_to_cobaya_params(like.pipeline.varied_params)
+    assert 'qpar' in info and info['qpar']['prior']['min'] > 0.
+
+
+def test_cosmosis_factory():
+    """CosmoSISLikelihoodFactory (reference cosmosis/factory.py:119): the
+    setup/execute/cleanup triple runs against a fake datablock, injects the
+    block cosmology, and writes the likelihood entry."""
+    from desilike_tpu.bindings import CosmoSISLikelihoodFactory
+    cls = CosmoSISLikelihoodFactory(external_fs_factory, name_like='my_fs')
+    setup, execute, cleanup = cls.build_module()
+    calc = setup(None)
+    values = {p.name.replace('.', '_'): (2.0 if p.basename == 'b1' else p.value)
+              for p in calc.like.pipeline.varied_params}
+    block = FakeBlock()
+    for key, val in values.items():
+        block['desilike_tpu_params', key] = val
+    assert execute(block, calc) == 0
+    lp_fid = block['likelihoods', 'my_fs_like']
+    shifted = FakeBlock({'h': 0.70, 'omega_cdm': 0.125})
+    for key, val in values.items():
+        shifted['desilike_tpu_params', key] = val
+    execute(shifted, calc)
+    lp_shift = shifted['likelihoods', 'my_fs_like']
+    assert np.isfinite(lp_fid) and np.isfinite(lp_shift) and lp_shift < lp_fid - 1.0
+    assert cleanup(calc) == 0
+
+
+def test_montepython_factory(monkeypatch):
+    """MontePythonLikelihoodFactory (reference montepython/factory.py:119):
+    loglkl reads data.mcmc_parameters and injects the classy cosmology."""
+    import sys, types
+    mp = types.ModuleType('montepython')
+    lc = types.ModuleType('montepython.likelihood_class')
+
+    class Likelihood:
+        def __init__(self, path, data, command_line):
+            pass
+
+    lc.Likelihood = Likelihood
+    mp.likelihood_class = lc
+    monkeypatch.setitem(sys.modules, 'montepython', mp)
+    monkeypatch.setitem(sys.modules, 'montepython.likelihood_class', lc)
+    from desilike_tpu.bindings import MontePythonLikelihoodFactory
+    cls = MontePythonLikelihoodFactory(external_fs_factory)
+    L = cls(None, None, None)
+    assert 'b1' in L.use_nuisance
+
+    class Data:
+        mcmc_parameters = {p.name.replace('.', '_'):
+                           {'current': 2.0 if p.basename == 'b1' else p.value, 'scale': 1.0}
+                           for p in L._like.pipeline.varied_params}
+
+    lp_fid = L.loglkl(FakeClassy(), Data())
+    lp_shift = L.loglkl(FakeClassy({'h': 0.70, 'omega_cdm': 0.125}), Data())
     assert np.isfinite(lp_fid) and np.isfinite(lp_shift) and lp_shift < lp_fid - 1.0

@@ -120,7 +120,7 @@ def test_nested_alias_runs():
 
 def test_samples_reexports():
     from desilike_tpu.samples import Samples, ParameterBestFit, ParameterCovariance, load_source
-    assert ParameterBestFit is Samples
+    assert issubclass(ParameterBestFit, Samples)  # typed best-fit container
     assert callable(load_source)
     cov = ParameterCovariance(np.eye(2) * 0.1, params=['a', 'b'])
     assert cov.view(params=['a'])[0, 0] == pytest.approx(0.1)
@@ -174,3 +174,30 @@ def test_tier2_reference_names():
     # exception aliases bind to what the framework actually raises
     assert compat.ParameterError is ValueError
     assert compat.PipelineError is RuntimeError
+
+
+def test_reference_import_path_shims():
+    """Reference-style import paths resolve (ref desilike/theories/
+    galaxy_clustering/__init__.py etc.): subpackage shims forward to the
+    native namespaces, top level carries the reference aliases."""
+    from desilike_tpu import (BaseCalculator, Calculator, ParameterPrior, Prior,
+                              ParameterArray, PipelineError)
+    assert BaseCalculator is Calculator and ParameterPrior is Prior
+    from desilike_tpu.theories.galaxy_clustering import (
+        KaiserTracerPowerSpectrumMultipoles, APEffect,
+        DampedBAOWigglesTracerCorrelationFunctionMultipoles,
+        ShapeFitPowerSpectrumTemplate)
+    from desilike_tpu.theories.primordial_cosmology import Cosmology
+    from desilike_tpu.observables.galaxy_clustering import (
+        TracerPowerSpectrumMultipolesObservable, BoxFootprint, CutskyFootprint,
+        ObservablesCovarianceMatrix, WindowedPowerSpectrumMultipoles,
+        BAOCompressionObservable)
+    from desilike_tpu.observables.lya import P1DCompressionObservable
+    from desilike_tpu.observables.weak_lensing import DESY3Observable
+    from desilike_tpu.likelihoods.hubble import Riess2020H0Likelihood
+    from desilike_tpu.likelihoods.bbn import Schoneberg2024BBNLikelihood
+    from desilike_tpu import theories
+    assert ShapeFitPowerSpectrumTemplate is theories.ShapeFitPowerSpectrumTemplate
+    with pytest.raises(AttributeError, match='shim'):
+        from desilike_tpu.theories import galaxy_clustering
+        galaxy_clustering.NotARealName

@@ -191,7 +191,10 @@ def test_profiles_depth(tmp_path):
     assert loaded.choice() == p1.choice()
     assert np.allclose(loaded.covariance, p1.covariance)
     assert np.allclose(loaded.contour[('a', 'b')]['grid'][2], 0.)
-    assert np.allclose(loaded.contour[('a', 'b')]['paths'][1.][1], np.arange(3.) + 1)
+    # load normalizes paths to the multi-segment canonical form {cl: [segments]}
+    (seg,) = loaded.contour[('a', 'b')]['paths'][1.]
+    assert np.allclose(seg[1], np.arange(3.) + 1)
+    assert np.allclose(loaded.contour_paths(('a', 'b'))[1.][0][1], np.arange(3.) + 1)
     assert np.allclose(loaded.grid['a'][1], np.arange(7.))
     assert loaded.interval['a'] == (0.9, 1.3)
     stats = p1.to_stats()
@@ -212,7 +215,9 @@ def test_profiles_resave_after_load(tmp_path):
     back = Profiles.load(fn1)
     back.save(fn2)
     again = Profiles.load(fn2)
-    np.testing.assert_allclose(again.contour_paths(('a', 'b'))[0.68][0], np.arange(4.))
+    (seg,) = again.contour_paths(('a', 'b'))[0.68]
+    np.testing.assert_allclose(seg[0], np.arange(4.))
+    np.testing.assert_allclose(seg[1], np.arange(4.))
 
 
 def test_from_observations_dict_names():
@@ -264,3 +269,65 @@ def test_plot_contour_and_comparison_smoke(tmp_path):
     assert os.path.exists(tmp_path / 'cmp.png')
     import matplotlib.pyplot as plt
     plt.close('all')
+
+
+def test_profiles_typed_containers():
+    """Profiles fields are the reference's typed containers (reference
+    profiles.py:15/368/445/503): ParameterBestFit.choice, ParameterProfiles
+    choice/interpolate, ParameterGrid.choice, ParameterContours.paths —
+    all dict/Samples-compatible with the legacy storage."""
+    import numpy as np
+    from desilike_tpu.samples import (Profiles, ParameterBestFit, ParameterProfiles,
+                                      ParameterGrid, ParameterContours)
+    prof = Profiles()
+    assert isinstance(prof.bestfit, ParameterBestFit)
+    assert isinstance(prof.profile, ParameterProfiles)
+    assert isinstance(prof.grid, ParameterGrid)
+    assert isinstance(prof.contour, ParameterContours)
+    prof.bestfit['a'] = np.array([1., 2., 3.])
+    prof.bestfit['logposterior'] = np.array([-2., -0.5, -1.])
+    assert prof.bestfit.argmax() == 1
+    assert prof.bestfit.choice() == {'a': 2.0, 'logposterior': -0.5}
+    np.testing.assert_allclose(prof.bestfit.choice(params=['a'], return_type='nparray'), [2.0])
+    assert prof.choice()['a'] == 2.0  # Profiles delegates
+    # 1D profile: choice at the scan minimum + interpolation
+    x = np.linspace(0., 4., 9)
+    prof.profile['a'] = (x, (x - 1.5) ** 2)
+    assert prof.profile.choice()['a'] == 1.5
+    dense = prof.profile.interpolate(size=200)
+    xd, c2d = dense['a']
+    assert len(xd) == 200 and abs(xd[np.argmin(c2d)] - 1.5) < 0.05
+    # grid minimum
+    pts = np.stack([x, 2 * x], axis=-1)
+    prof.grid[('a', 'b')] = (pts, (x - 2.)**2)
+    best, chi2 = prof.grid.choice(('a', 'b'))
+    np.testing.assert_allclose(best, [2., 4.]) and chi2 == 0.
+    # contours: both storage forms normalize through paths()
+    seg = (np.array([0., 1.]), np.array([1., 0.]))
+    prof.contour[('a', 'b')] = {'paths': {0.68: [seg]}}
+    assert prof.contour.paths(('a', 'b'))[0.68][0][0][1] == 1.
+    assert prof.contour.levels(('a', 'b')) == [0.68]
+    legacy = ParameterContours({('a', 'b'): {0.95: seg}})
+    assert legacy.paths(('a', 'b'))[0.95] == [seg]
+    # save/load round-trips the typed fields
+    import tempfile, os
+    fn = os.path.join(tempfile.mkdtemp(), 'prof.npz')
+    prof.save(fn)
+    back = Profiles.load(fn)
+    assert back.bestfit.choice()['a'] == 2.0
+    assert back.profile.choice()['a'] == 1.5
+
+
+def test_get_params_in_source():
+    import numpy as np
+    from desilike_tpu.samples import get_params_in_source, Chain, Profiles
+    chain = Chain()
+    chain['a'] = np.ones((4, 2))
+    chain['b'] = np.zeros((4, 2))
+    chain['logposterior'] = np.zeros((4, 2))
+    assert get_params_in_source(chain) == ['a', 'b']
+    assert get_params_in_source(chain, params=['b']) == ['b']
+    prof = Profiles()
+    prof.bestfit['x'] = np.array([1.])
+    prof.bestfit['logposterior'] = np.array([0.])
+    assert get_params_in_source(prof) == ['x']
