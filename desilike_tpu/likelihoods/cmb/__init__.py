@@ -12,6 +12,10 @@ from .planck2018_gaussian import (BasePlanck2018GaussianLikelihood, Planck2018Ga
 from .lollipop import (LollipopLikelihood, EELowlPlanck2020LollipopLikelihood,
                        BBLowlPlanck2020LollipopLikelihood, EBLowlPlanck2020LollipopLikelihood)
 from .act_dr6_lensing import ACTDR6LensingLikelihood
+from .planck2018_lensing import (Planck2018LensingLikelihood,
+                                 read_planck2018_lensing_data,
+                                 write_planck2018_lensing_data,
+                                 synthetic_planck2018_lensing_data)
 from .hillipop import (BaseHillipopLikelihood, TTTEEEHighlPlanck2020HillipopLikelihood,
                        TTHighlPlanck2020HillipopLikelihood, EEHighlPlanck2020HillipopLikelihood,
                        TEHighlPlanck2020HillipopLikelihood)
@@ -55,10 +59,9 @@ class TTTEEEHighlPlanck2018PlikUnbinnedLikelihood(TTTEEEHighlPlanck2018LiteLikel
     :class:`TTHighlPlanck2018PlikUnbinnedLikelihood`."""
 
 
-def LensingPlanck2018ClikLikelihood(*args, **kwargs):
+class LensingPlanck2018ClikLikelihood(Planck2018LensingLikelihood):
     """Reference planck2018_clik.py:362 (Planck 2018 lensing bandpowers via
-    clik). No native reimplementation yet: use
-    :class:`ACTDR6LensingLikelihood` for a lensing likelihood, or
-    :class:`Planck2018GaussianLikelihood` (built from lensing-including
-    chains) for the compressed constraint."""
-    raise NotImplementedError(LensingPlanck2018ClikLikelihood.__doc__)
+    clik). Mapped onto the native :class:`Planck2018LensingLikelihood`
+    reimplementation (Gaussian bandpowers + CMB renormalization correction
+    matrices); the clik_lensing binary container is not read — data ship as
+    the documented directory layout (``write_planck2018_lensing_data``)."""

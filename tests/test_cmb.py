@@ -394,6 +394,73 @@ def test_act_dr6_file_roundtrip_planck(tmp_path):
     assert float(like.loglikelihood) == pytest.approx(0., abs=1e-5)
 
 
+# --- Planck 2018 lensing (native clik_lensing reimplementation) ---
+
+def planck_lensing_fixture(variant='consext8'):
+    from desilike_tpu.likelihoods.cmb import synthetic_planck2018_lensing_data
+    return synthetic_planck2018_lensing_data(
+        variant=variant, ellmax_pp=400, ellmax_cmb=1400, cl_tables=TABLES)
+
+
+def test_planck2018_lensing_truth():
+    """Corrections vanish at the fiducial point -> chi2 = 0; the CMB
+    renormalization correction responds to both a CMB-spectrum change and
+    the A_planck calibration."""
+    from desilike_tpu.likelihoods.cmb import Planck2018LensingLikelihood
+    data = planck_lensing_fixture()
+    like = Planck2018LensingLikelihood(theory=ClTheory(tables=TABLES), data=data)
+    pipe = run_once(like, {'A_planck': 1.})
+    assert float(like.loglikelihood) == pytest.approx(0., abs=1e-5)
+    pred0 = np.asarray(like.flattheory()).copy()
+    # calibration enters through the renormalization term
+    pipe.evaluate({'A_planck': 1.5})
+    assert np.max(np.abs(np.asarray(like.flattheory()) / pred0 - 1.)) > 1e-4
+    # a shifted CMB spectrum moves the prediction off the bandpowers
+    tables2 = dict(TABLES)
+    tables2['tt'] = TABLES['tt'] * 1.5
+    like2 = Planck2018LensingLikelihood(theory=ClTheory(tables=tables2), data=data)
+    run_once(like2, {'A_planck': 1.})
+    assert np.max(np.abs(np.asarray(like2.flattheory()) / pred0 - 1.)) > 1e-4
+
+
+def test_planck2018_lensing_cmbmarged():
+    """CMBmarged variant: lensing-only — no CMB spectra requested, and the
+    A_planck calibration has no effect on the prediction."""
+    from desilike_tpu.likelihoods.cmb import Planck2018LensingLikelihood
+    data = planck_lensing_fixture(variant='CMBmarged')
+    theory = ClTheory(tables=TABLES)
+    like = Planck2018LensingLikelihood(theory=theory, data=data,
+                                       variant='CMBmarged')
+    pipe = run_once(like, {'A_planck': 1.})
+    assert float(like.loglikelihood) == pytest.approx(0., abs=1e-5)
+    assert set(theory.init.get('cls')) == {'pp'}
+    pred0 = np.asarray(like.flattheory()).copy()
+    pipe.evaluate({'A_planck': 1.5})
+    np.testing.assert_allclose(np.asarray(like.flattheory()), pred0, rtol=1e-7)
+
+
+def test_planck2018_lensing_roundtrip(tmp_path):
+    """write -> read -> likelihood from data_dir == in-memory likelihood,
+    and the clik-era class name resolves to the native reimplementation."""
+    from desilike_tpu.likelihoods.cmb import (
+        Planck2018LensingLikelihood, LensingPlanck2018ClikLikelihood,
+        read_planck2018_lensing_data, write_planck2018_lensing_data)
+    assert issubclass(LensingPlanck2018ClikLikelihood, Planck2018LensingLikelihood)
+    data = planck_lensing_fixture()
+    write_planck2018_lensing_data(str(tmp_path), data, variant='consext8')
+    read = read_planck2018_lensing_data(str(tmp_path), variant='consext8')
+    np.testing.assert_allclose(read['bandpowers'], data['bandpowers'], rtol=1e-10)
+    np.testing.assert_allclose(read['corr_tt'], data['corr_tt'], atol=0)
+    like_file = Planck2018LensingLikelihood(theory=ClTheory(tables=TABLES),
+                                            data_dir=str(tmp_path))
+    run_once(like_file, {'A_planck': 1.01})
+    like_mem = Planck2018LensingLikelihood(theory=ClTheory(tables=TABLES),
+                                           data=data)
+    run_once(like_mem, {'A_planck': 1.01})
+    assert float(like_file.loglikelihood) == pytest.approx(
+        float(like_mem.loglikelihood), rel=1e-6, abs=1e-9)
+
+
 def test_installer_section_resolution(tmp_path, monkeypatch):
     """Installer sectioned data-dir lookup (the reference's
     Installer().data_dir(section) role): a likelihood called with neither
