@@ -9,7 +9,9 @@ from .compression import (BaseCompressionObservable, BAOCompressionObservable,
                           WiggleSplitCompressionObservable, BandVelocityCompressionObservable,
                           TurnOverCompressionObservable, P1DCompressionObservable,
                           BAOPhaseShiftCompressionObservable)
-from .fiber_collisions import (TopHatFiberCollisionsPowerSpectrumMultipoles,
+from .fiber_collisions import (BaseFiberCollisionsPowerSpectrumMultipoles,
+                               BaseFiberCollisionsCorrelationFunctionMultipoles,
+                               TopHatFiberCollisionsPowerSpectrumMultipoles,
                                FiberCollisionsPowerSpectrumMultipoles,
                                SystematicTemplatePowerSpectrumMultipoles,
                                TopHatFiberCollisionsCorrelationFunctionMultipoles,

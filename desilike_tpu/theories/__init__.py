@@ -7,7 +7,9 @@ from .power_template import (BasePowerSpectrumTemplate, FixedPowerSpectrumTempla
                              WiggleSplitPowerSpectrumTemplate, BandVelocityPowerSpectrumTemplate,
                              TurnOverPowerSpectrumTemplate, ExtractedBandVelocityPowerSpectrumTemplate,
                              BandVelocityPowerSpectrumCalculator)
-from .bao import (DampedBAOWigglesPowerSpectrumMultipoles, SimpleBAOWigglesPowerSpectrumMultipoles,
+from .bao import (BaseBAOWigglesPowerSpectrumMultipoles, BaseBAOWigglesTracerPowerSpectrumMultipoles,
+                  BaseBAOWigglesCorrelationFunctionMultipoles, BaseBAOWigglesTracerCorrelationFunctionMultipoles,
+                  DampedBAOWigglesPowerSpectrumMultipoles, SimpleBAOWigglesPowerSpectrumMultipoles,
                   ResummedBAOWigglesPowerSpectrumMultipoles, FlexibleBAOWigglesPowerSpectrumMultipoles,
                   DampedBAOWigglesTracerPowerSpectrumMultipoles, SimpleBAOWigglesTracerPowerSpectrumMultipoles,
                   ResummedBAOWigglesTracerPowerSpectrumMultipoles, FlexibleBAOWigglesTracerPowerSpectrumMultipoles,
@@ -15,7 +17,9 @@ from .bao import (DampedBAOWigglesPowerSpectrumMultipoles, SimpleBAOWigglesPower
                   ResummedBAOWigglesTracerCorrelationFunctionMultipoles, FlexibleBAOWigglesTracerCorrelationFunctionMultipoles,
                   DampedBAOWigglesCorrelationFunctionMultipoles, SimpleBAOWigglesCorrelationFunctionMultipoles,
                   ResummedBAOWigglesCorrelationFunctionMultipoles, FlexibleBAOWigglesCorrelationFunctionMultipoles)
-from .full_shape import (KaiserPowerSpectrumMultipoles, KaiserTracerPowerSpectrumMultipoles,
+from .full_shape import (BasePTPowerSpectrumMultipoles, BaseTracerPowerSpectrumMultipoles,
+                         BaseTracerCorrelationFunctionMultipoles,
+                         KaiserPowerSpectrumMultipoles, KaiserTracerPowerSpectrumMultipoles,
                          EFTLikeKaiserTracerPowerSpectrumMultipoles, KaiserTracerCorrelationFunctionMultipoles,
                          EFTLikeKaiserTracerCorrelationFunctionMultipoles, SimpleTracerPowerSpectrumMultipoles)
 from .ept import EPTTracerPowerSpectrumMultipoles, EPTTracerCorrelationFunctionMultipoles

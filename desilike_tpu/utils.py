@@ -231,6 +231,102 @@ def deep_eq(obj1, obj2):
         return obj1 is obj2
 
 
+class Monitor(BaseClass):
+    """Wall-time (and optionally RSS memory) monitor — counterpart of the
+    reference's per-calculator ``Monitor`` (ref utils.py:734). Usable as a
+    context manager or via start()/stop(); ``get('time')`` returns the
+    accumulated quantity, ``counter`` the number of stop() calls.
+
+    Note the framework's hot path is one fused XLA program, so per-node
+    timing belongs to ``Pipeline.profile_speed`` (which uses this class's
+    semantics at the node level for blocking decisions); Monitor remains for
+    host-side sections (IO, init, host-eval nodes)."""
+
+    def __init__(self, quantities='time'):
+        if isinstance(quantities, str):
+            quantities = (quantities,)
+        self.quantities = list(quantities)
+        self.reset()
+
+    def time(self):
+        import time
+        return time.perf_counter()
+
+    def mem(self):
+        import resource
+        # peak RSS in MB (ru_maxrss is KB on Linux)
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e3
+
+    def reset(self):
+        self.counter = 0
+        self._diffs = {q: 0. for q in self.quantities}
+        self.start()
+
+    def start(self):
+        self._start = {q: getattr(self, q)() for q in self.quantities}
+
+    def stop(self):
+        now = {q: getattr(self, q)() for q in self.quantities}
+        self.counter += 1
+        for q in self.quantities:
+            self._diffs[q] += now[q] - self._start[q]
+        self._start = now
+
+    def get(self, quantity, average=False):
+        value = self._diffs[quantity]
+        if average:
+            return value / max(self.counter, 1)
+        return value
+
+    def __enter__(self):
+        self.reset()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+class TaskManager(BaseClass):
+    """Deterministic task distribution over JAX processes — the
+    multi-controller counterpart of the reference's MPI ``TaskManager``
+    (ref utils.py:1040: communicator splitting, no manager rank). Under a
+    single controller every task runs locally; under
+    ``parallel.distributed.initialize()`` each process gets a deterministic
+    contiguous slice (same rule as ``parallel.distributed.local_chain_slice``).
+
+    >>> with TaskManager() as tm:
+    ...     for task in tm.iterate(tasks):
+    ...         ...
+    """
+
+    def __init__(self, nprocs_per_task=1):
+        self.nprocs_per_task = max(int(nprocs_per_task), 1)
+
+    @property
+    def nworkers(self):
+        import jax
+        return max(jax.process_count() // self.nprocs_per_task, 1)
+
+    @property
+    def worker(self):
+        import jax
+        return (jax.process_index() // self.nprocs_per_task) % self.nworkers
+
+    def iterate(self, tasks):
+        """Yield the subset of ``tasks`` assigned to this process's worker
+        group (deterministic round-robin, identical on every process of the
+        group)."""
+        for i, task in enumerate(tasks):
+            if i % self.nworkers == self.worker:
+                yield task
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return None
+
+
 def forward_module_getattr(*providers):
     """Module ``__getattr__`` (PEP 562) forwarding attribute lookups to
     ``providers`` (module paths, tried in order). Used by the reference

@@ -331,3 +331,58 @@ def test_get_params_in_source():
     prof.bestfit['x'] = np.array([1.])
     prof.bestfit['logposterior'] = np.array([0.])
     assert get_params_in_source(prof) == ['x']
+
+
+def test_monitor():
+    """Monitor (reference utils.py:734): accumulated time across
+    start/stop cycles, context-manager form, average."""
+    import time
+    from desilike_tpu.utils import Monitor
+    mon = Monitor()
+    time.sleep(0.01)
+    mon.stop()
+    t1 = mon.get('time')
+    assert t1 >= 0.009 and mon.counter == 1
+    mon.start()
+    time.sleep(0.01)
+    mon.stop()
+    assert mon.get('time') > t1 and mon.counter == 2
+    assert mon.get('time', average=True) == pytest.approx(mon.get('time') / 2)
+    with Monitor(quantities=('time', 'mem')) as m:
+        _ = [i for i in range(1000)]
+    assert m.get('time') >= 0. and m.get('mem') >= 0.
+
+
+def test_task_manager():
+    """TaskManager (reference utils.py:1040): single controller -> all tasks
+    assigned locally, deterministically."""
+    from desilike_tpu.utils import TaskManager
+    with TaskManager() as tm:
+        assert tm.nworkers >= 1
+        got = list(tm.iterate(range(7)))
+    if tm.nworkers == 1:
+        assert got == list(range(7))
+    else:  # distributed run: the union over workers is the full set
+        assert set(got) <= set(range(7))
+
+
+def test_subclassing_base_exports():
+    """The reference exports the Base* theory/observable classes for user
+    subclassing (ref theories/galaxy_clustering/__init__.py); they resolve
+    through both the native and the shim import paths."""
+    from desilike_tpu.theories import (
+        BaseBAOWigglesPowerSpectrumMultipoles, BaseBAOWigglesTracerPowerSpectrumMultipoles,
+        BaseBAOWigglesCorrelationFunctionMultipoles, BaseBAOWigglesTracerCorrelationFunctionMultipoles,
+        BasePTPowerSpectrumMultipoles, BaseTracerPowerSpectrumMultipoles,
+        BaseTracerCorrelationFunctionMultipoles)
+    from desilike_tpu.theories.galaxy_clustering import (  # noqa: F401 shim path
+        BaseBAOWigglesPowerSpectrumMultipoles as ShimBAO,
+        BasePTPowerSpectrumMultipoles as ShimPT)
+    assert ShimBAO is BaseBAOWigglesPowerSpectrumMultipoles
+    assert ShimPT is BasePTPowerSpectrumMultipoles
+    from desilike_tpu.observables import (
+        BaseFiberCollisionsPowerSpectrumMultipoles,
+        BaseFiberCollisionsCorrelationFunctionMultipoles)
+    from desilike_tpu.observables.galaxy_clustering import (  # shim path
+        BaseFiberCollisionsPowerSpectrumMultipoles as ShimFC)
+    assert ShimFC is BaseFiberCollisionsPowerSpectrumMultipoles
