@@ -26,9 +26,8 @@ from .profilers.base import ScipyProfiler
 
 # --- theory model aliases -------------------------------------------------
 
-_PT_WRAPPER_OPTIONS = ('tracer', 'prior_basis', 'freedom', 'nthreads', 'engine',
-                       'use_Pzel', 'kIR', 'km', 'kp', 'eft_basis', 'with_stoch',
-                       'tracers')
+_PT_WRAPPER_OPTIONS = ('nthreads', 'engine', 'use_Pzel', 'km', 'kp',
+                       'eft_basis', 'with_stoch', 'tracers')
 
 
 class _OneLoopPowerAlias(EPTTracerPowerSpectrumMultipoles):
@@ -37,10 +36,14 @@ class _OneLoopPowerAlias(EPTTracerPowerSpectrumMultipoles):
     Maps onto the in-framework 1-loop Eulerian PT model
     (:class:`EPTTracerPowerSpectrumMultipoles`, FFTLog-matrix loops,
     IR-resummed by default — matching the wrapped codes, all of which
-    resum: velocileptors ept_fullresum, pybird with_resum='full', folpsax);
-    reference-wrapper-specific options (tracer presets, external-code
-    threading, ...) are accepted and ignored.  ``kIR`` maps to the IR
-    separation scale ``resum_ks`` rather than being dropped.
+    resum: velocileptors ept_fullresum, pybird with_resum='full', folpsax).
+    ``prior_basis='physical'`` / ``freedom=`` / ``tracer=`` / ``fsat=`` /
+    ``sigv=`` are honored natively (DESI-2024 physical priors; note the
+    reference velocileptors wrappers DEFAULT to the physical basis — pass
+    ``prior_basis='physical'`` explicitly here, the in-framework default is
+    the Eulerian basis). ``kIR`` maps to the IR separation scale
+    ``resum_ks``; external-code-specific options (threading, pole-table
+    engine selection, ...) are accepted and ignored.
     """
 
     def initialize(self, *args, **kwargs):

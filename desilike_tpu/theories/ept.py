@@ -35,6 +35,27 @@ from .full_shape import BasePTPowerSpectrumMultipoles, BaseTracerCorrelationFunc
 from .power_template import DirectPowerSpectrumTemplate
 
 
+def physical_stochastic_settings(tracer=None):
+    """Per-tracer satellite fraction and virial-velocity scale entering the
+    physical stochastic priors (reference full_shape.py:1077-1091, the
+    published DESI-2024 convention, Maus et al. / Zhao et al.): sigv is the
+    halo virial velocity 150 km/s (M / 1e10 Msun)^(1/3) sqrt(1+z) / H0 in
+    Mpc/h units, evaluated at each tracer's host-halo mass and redshift."""
+    if tracer is None:
+        return {'fsat': 0.1, 'sigv': 5.}
+    settings = {
+        'BGS': {'fsat': 0.15, 'sigv': 150. * 10. ** (1. / 3.) * (1. + 0.2) ** 0.5 / 70.},
+        'LRG': {'fsat': 0.15, 'sigv': 150. * 10. ** (1. / 3.) * (1. + 0.8) ** 0.5 / 70.},
+        'ELG': {'fsat': 0.10, 'sigv': 150. * 2.1 ** 0.5 / 70.},
+        'QSO': {'fsat': 0.03, 'sigv': 150. * 10. ** (0.7 / 3.) * 2.4 ** 0.5 / 70.},
+    }
+    tracer = str(tracer).upper()
+    if tracer not in settings:
+        raise ValueError('unknown tracer {!r}; expected one of {}'.format(
+            tracer, sorted(settings)))
+    return settings[tracer]
+
+
 class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, WedgesMixin):
     """1-loop EPT biased-tracer multipoles with AP and exact-marginalizable
     counter/stochastic terms."""
@@ -44,6 +65,48 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
 
     @staticmethod
     def _params(init):
+        ells = tuple(init.get('ells', (0, 2, 4)))
+        prior_basis = init.get('prior_basis', 'eulerian') or 'eulerian'
+        freedom = init.get('freedom', None)
+        if prior_basis == 'physical':
+            # DESI-2024 physical prior basis (reference full_shape.py:1119-1134:
+            # sigma8-scaled biases, dimensionless counterterm amplitudes
+            # "50% at k = 0.2 h/Mpc", shot-noise-normalized stochastic terms)
+            params = {
+                'b1p': dict(value=1.2, prior=dict(dist='uniform', limits=[0., 3.]),
+                            ref=dict(dist='norm', loc=1., scale=0.1), delta=0.05,
+                            latex=r'b_{1}\sigma_8'),
+                'b2p': dict(value=0., prior=dict(dist='norm', loc=0., scale=5.),
+                            ref=dict(dist='norm', loc=0., scale=1.), delta=0.5,
+                            latex=r'b_{2}\sigma_8^2'),
+                'bsp': dict(value=0., prior=dict(dist='norm', loc=0., scale=5.),
+                            ref=dict(dist='norm', loc=0., scale=1.), delta=0.5,
+                            latex=r'b_{s}\sigma_8^2'),
+                'b3p': dict(value=0., fixed=True, prior=dict(dist='norm', loc=0., scale=5.),
+                            latex=r'b_{3}\sigma_8^3'),
+            }
+            for n, need in (('0', True), ('2', 2 in ells), ('4', 4 in ells)):
+                params['alpha{}p'.format(n)] = dict(
+                    value=0., fixed=not need,
+                    prior=dict(dist='norm', loc=0., scale=12.5),
+                    ref=dict(dist='norm', loc=0., scale=1.), delta=0.5,
+                    latex=r'\alpha_{{{}}}'.format(n))
+            params['sn0p'] = dict(value=0., prior=dict(dist='norm', loc=0., scale=2.),
+                                  ref=dict(dist='norm', loc=0., scale=1.),
+                                  latex=r'\mathrm{SN}_0')
+            params['sn2p'] = dict(value=0., fixed=2 not in ells,
+                                  prior=dict(dist='norm', loc=0., scale=5.),
+                                  ref=dict(dist='norm', loc=0., scale=1.),
+                                  latex=r'\mathrm{SN}_2')
+            if freedom == 'min':
+                for name in ('bsp', 'b3p'):
+                    params[name].update(value=0., fixed=True)
+                params['b2p']['prior'] = dict(dist='norm', loc=0., scale=10.)
+            elif freedom == 'max':
+                for name in ('b2p', 'bsp', 'b3p'):
+                    params[name].update(fixed=False,
+                                        prior=dict(limits=[-15., 15.]))
+            return params
         params = {
             'b1': dict(value=1.7, prior=dict(limits=[0., 4.]), ref=dict(dist='norm', loc=1.7, scale=0.1), delta=0.05, latex='b_1'),
             'b2': dict(value=0., prior=dict(dist='norm', loc=0., scale=5.), ref=dict(dist='norm', loc=0., scale=0.5), delta=0.5, latex='b_2'),
@@ -51,21 +114,41 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
             'b3nl': dict(value=0., prior=dict(dist='norm', loc=0., scale=5.), ref=dict(dist='norm', loc=0., scale=0.5), delta=0.5, latex='b_{3nl}'),
             'sn0': dict(value=0., prior=dict(dist='norm', loc=0., scale=2.), ref=dict(dist='norm', loc=0., scale=0.1), latex='s_{n,0}'),
         }
-        ells = tuple(init.get('ells', (0, 2, 4)))
         for ell in ells:
             params['ct{:d}_2'.format(ell)] = dict(
                 value=0., prior=dict(dist='norm', loc=0., scale=100.),
                 ref=dict(dist='norm', loc=0., scale=1.), delta=0.5, latex='c_{{t,{:d}}}'.format(ell))
         params['sn2_2'] = dict(value=0., prior=dict(dist='norm', loc=0., scale=10.),
                                ref=dict(dist='norm', loc=0., scale=0.1), latex='s_{n,2}')
+        # reference freedom presets (full_shape.py:1102-1116), mapped to the
+        # Eulerian basis: 'min' fixes the quadratic-and-up bias freedom,
+        # 'max' opens it with wide flat priors (ct/sn keep their Gaussian
+        # priors here — they are analytically marginalized)
+        if freedom == 'min':
+            for name in ('bs', 'b3nl'):
+                params[name].update(value=0., fixed=True)
+            params['b2']['prior'] = dict(dist='norm', loc=0., scale=10.)
+        elif freedom == 'max':
+            for name in ('b2', 'bs', 'b3nl'):
+                params[name].update(fixed=False, prior=dict(limits=[-15., 15.]))
         return params
 
     def initialize(self, k=None, ells=(0, 2, 4), template=None, mu=8, method='leggauss',
                    shotnoise=1e4, nr=128, nx=64, nk_loop=96, nk_template=None,
-                   loop_method='fftlog', resum='full', resum_ks=0.4, **kwargs):
+                   loop_method='fftlog', resum='full', resum_ks=0.4,
+                   prior_basis='eulerian', freedom=None, tracer=None,
+                   fsat=None, sigv=None, **kwargs):
         if resum not in (None, False, 'full'):
             raise ValueError("resum must be 'full' or None (got {!r})".format(resum))
         self.resum = 'full' if resum == 'full' else None
+        if prior_basis not in ('eulerian', 'physical', None):
+            raise ValueError("prior_basis must be 'eulerian' or 'physical' "
+                             '(got {!r})'.format(prior_basis))
+        self.physical = (prior_basis == 'physical')
+        if self.physical:
+            settings = physical_stochastic_settings(tracer=tracer)
+            self.fsat = float(fsat if fsat is not None else settings['fsat'])
+            self.sigv = float(sigv if sigv is not None else settings['sigv'])
         super().initialize(k=k, ells=ells)
         if template is None:
             template = DirectPowerSpectrumTemplate()
@@ -163,6 +246,14 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         assert self._loop_mask[n1:n1 + n2].all(), 'k_work outside the template k range'
 
     def _set_eft_matrices(self):
+        if self.physical:
+            # physical basis: dimensionless alpha_n amplitudes; still exactly
+            # linear given (b1p, f), so in-primal marginalization bases are
+            # exposed for them (rows built in calculate)
+            self.ct_names, self.ct_ells = [], {}
+            self.solved_basis_names = ('alpha0p', 'alpha2p', 'alpha4p')
+            return
+
         def build(base):
             names, rows = [], {}
             for param in self.params:
@@ -191,6 +282,18 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         return fn
 
     def calculate(self, b1=1.7, b2=0., bs=0., b3nl=0., sn0=0., **params):
+        if self.physical:
+            # physical -> Eulerian conversion (reference full_shape.py:
+            # 1299-1307, sigma8-scaled biases; b1p = b1 sigma8 so the
+            # Lagrangian b1L = b1p/sigma8 - 1 and Eulerian b1 = b1p/sigma8)
+            sigma8 = getattr(self.template, 'sigma8', None)
+            if sigma8 is None:
+                sigma8 = self.template.fsigma8 / self.template.f
+            b1 = params.get('b1p', 1.2) / sigma8
+            b2 = params.get('b2p', 0.) / sigma8 ** 2
+            bs = params.get('bsp', 0.) / sigma8 ** 2
+            b3nl = params.get('b3p', 0.) / sigma8 ** 3
+            sn0 = params.get('sn0p', 0.)
         from ..ops.spt_fftlog import FFTLogOneLoop
         resum = self.resum
         sigma2 = dsigma2 = f0 = None
@@ -287,15 +390,33 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         # EFT counterterms: (ct_l mu^(l) pattern) k^2 P_lin
         mu_pows = {0: 1., 2: muap ** 2, 4: muap ** 4}
         self._ct_bases = {}
-        for name in self.ct_names:
-            ell = self.ct_ells[name]
-            ct = params.get(name, 0.)
-            basis_mu = mu_pows[ell] * kap ** 2 * plin_ct * jac
-            self._ct_bases[name] = self.to_poles(jnp.broadcast_to(basis_mu, pkmu.shape))
-            pkmu = pkmu + ct * basis_mu
+        if self.physical:
+            # dimensionless alpha_n with the velocileptors-convention growth/
+            # bias combinations (reference full_shape.py:1304-1305): the
+            # counterterm P(k,mu) is b1^2 a0 mu^0 + f b1 (a0+a2) mu^2
+            # + f (f a2 + b1 a4) mu^4, all x k^2 P_lin — linear in the
+            # alphas given (b1, f), so each still gets an in-primal
+            # marginalization basis row
+            f0 = self.template.f
+            bases = {n: mu_pows[n] * kap ** 2 * plin_ct * jac for n in (0, 2, 4)}
+            rows = {'alpha0p': b1 ** 2 * bases[0] + f0 * b1 * bases[2],
+                    'alpha2p': f0 * b1 * bases[2] + f0 ** 2 * bases[4],
+                    'alpha4p': f0 * b1 * bases[4]}
+            for name, row in rows.items():
+                self._ct_bases[name] = self.to_poles(jnp.broadcast_to(row, pkmu.shape))
+                pkmu = pkmu + params.get(name, 0.) * row
+            # stochastic: SN_n x fsat sigv^n, shot-noise units (ref :1307)
+            sn2 = params.get('sn2p', 0.) * self.fsat * self.sigv ** 2
+        else:
+            for name in self.ct_names:
+                ell = self.ct_ells[name]
+                ct = params.get(name, 0.)
+                basis_mu = mu_pows[ell] * kap ** 2 * plin_ct * jac
+                self._ct_bases[name] = self.to_poles(jnp.broadcast_to(basis_mu, pkmu.shape))
+                pkmu = pkmu + ct * basis_mu
+            sn2 = params.get('sn2_2', 0.)
         # stochastic terms
         k_ = self.k[:, None]
-        sn2 = params.get('sn2_2', 0.)
         pkmu = pkmu + (sn0 + sn2 * k_ ** 2 * self.mu ** 2) / self.nd
         self.power = self.to_poles(pkmu)
         # linear poles for diagnostics / pk11 consumers

@@ -109,3 +109,94 @@ def test_ept_direct_cosmology_likelihood():
         assert float(lp) < float(lp0), name
     g = jax.grad(lambda v: fn(v)[0])(vals)
     assert all(np.isfinite(float(g[n])) for n in ('h', 'omega_cdm', 'logA', 'b1'))
+
+
+def test_ept_physical_prior_basis():
+    """DESI-2024 physical prior basis (reference full_shape.py:1119-1134,
+    1299-1307): sigma8-scaled biases, velocileptors-convention alpha_n
+    counterterm combinations, fsat/sigv-scaled stochastic terms. The
+    physical model must equal the Eulerian model at hand-converted
+    parameters (float32 tolerance)."""
+    from desilike_tpu.core import Pipeline
+    from desilike_tpu.theories.ept import physical_stochastic_settings
+
+    phys = EPTTracerPowerSpectrumMultipoles(
+        ells=(0, 2, 4), template=ShapeFitPowerSpectrumTemplate(z=0.8),
+        prior_basis='physical', tracer='LRG')
+    pipe_p = Pipeline(phys)
+    names = set(pipe_p.varied_params.names())
+    assert {'b1p', 'b2p', 'bsp', 'alpha0p', 'alpha2p', 'alpha4p',
+            'sn0p', 'sn2p'} <= names
+    assert not ({'b1', 'ct0_2', 'sn0'} & names)
+    # tracer presets applied
+    settings = physical_stochastic_settings('LRG')
+    assert phys.fsat == settings['fsat'] and phys.sigv == settings['sigv']
+
+    vals = dict(b1p=1.3, b2p=0.5, bsp=-0.3, alpha0p=1.5, alpha2p=-0.8,
+                alpha4p=0.4, sn0p=0.6, sn2p=-0.2)
+    pipe_p.evaluate(vals)
+    pp = np.asarray(phys.power)
+
+    eul = EPTTracerPowerSpectrumMultipoles(
+        ells=(0, 2, 4), template=ShapeFitPowerSpectrumTemplate(z=0.8))
+    pipe_e = Pipeline(eul)
+    sigma8 = float(np.asarray(phys.template.fsigma8 / phys.template.f))
+    f0 = float(np.asarray(phys.template.f))
+    b1 = vals['b1p'] / sigma8
+    conv = dict(b1=b1, b2=vals['b2p'] / sigma8 ** 2, bs=vals['bsp'] / sigma8 ** 2,
+                b3nl=0.,
+                ct0_2=b1 ** 2 * vals['alpha0p'],
+                ct2_2=f0 * b1 * (vals['alpha0p'] + vals['alpha2p']),
+                ct4_2=f0 * (f0 * vals['alpha2p'] + b1 * vals['alpha4p']),
+                sn0=vals['sn0p'],
+                sn2_2=vals['sn2p'] * phys.fsat * phys.sigv ** 2)
+    pipe_e.evaluate(conv)
+    pe = np.asarray(eul.power)
+    np.testing.assert_allclose(pp, pe, rtol=1e-4)
+
+
+def test_ept_physical_marginalized_likelihood():
+    """alpha*p/sn*p stay exactly marginalizable in the physical basis
+    (in-primal analytic rows + static-linear sn): the marginalized logpost
+    is finite and differentiable in the slow parameters."""
+    theory = EPTTracerPowerSpectrumMultipoles(
+        ells=(0, 2), template=ShapeFitPowerSpectrumTemplate(z=0.8),
+        prior_basis='physical', tracer='ELG')
+    theory.init.params = {'alpha*': dict(derived='.marg'), 'sn*': dict(derived='.marg')}
+    obs = TracerPowerSpectrumMultipolesObservable(
+        data={'b1p': 1.2}, klim={0: (0.02, 0.15, 0.01), 2: (0.02, 0.15, 0.01)},
+        theory=theory)
+    like = ObservablesGaussianLikelihood(
+        observables=[obs], footprints=[BoxFootprint(volume=1e9, nbar=5e-4)])
+    fn = like.logpost_fn()
+    import jax.numpy as jnp
+
+    def lp(vals):
+        return fn(vals)[0]
+
+    values = {p.name: jnp.asarray(p.value) for p in like.pipeline.varied_params}
+    values['b1p'] = jnp.asarray(1.25)
+    lp0 = lp(values)
+    assert np.isfinite(float(lp0))
+    g = jax.grad(lambda b: lp({**values, 'b1p': b}))(jnp.asarray(1.25))
+    assert np.isfinite(float(g)) and float(g) != 0.
+
+
+def test_ept_freedom_presets():
+    """freedom='min' fixes bs/b3nl (bsp/b3p in the physical basis);
+    freedom='max' opens them with wide flat priors (reference
+    full_shape.py:1102-1116)."""
+    from desilike_tpu.core import Pipeline
+    mini = EPTTracerPowerSpectrumMultipoles(
+        ells=(0, 2), template=ShapeFitPowerSpectrumTemplate(z=0.8), freedom='min')
+    names = set(Pipeline(mini).varied_params.names())
+    assert 'bs' not in names and 'b3nl' not in names and 'b2' in names
+    maxi = EPTTracerPowerSpectrumMultipoles(
+        ells=(0, 2), template=ShapeFitPowerSpectrumTemplate(z=0.8), freedom='max')
+    names = set(Pipeline(maxi).varied_params.names())
+    assert {'b2', 'bs', 'b3nl'} <= names
+    physmin = EPTTracerPowerSpectrumMultipoles(
+        ells=(0, 2), template=ShapeFitPowerSpectrumTemplate(z=0.8),
+        prior_basis='physical', freedom='min')
+    names = set(Pipeline(physmin).varied_params.names())
+    assert 'bsp' not in names and 'b3p' not in names and 'b2p' in names
