@@ -76,9 +76,23 @@ class GridSampler(BasePosteriorSampler):
         return samples
 
 
+def _rqrs(d, n, seed=0):
+    """Roberts' R_d quasi-random sequence (reference samplers/qmc.py
+    ``RQuasiRandomSequence``, the engine the MLP emulator samples with):
+    x_n = frac(u0 + n * phi_d^{-(i+1)}), phi_d the generalized golden ratio
+    solving x^(d+1) = x + 1. Low-discrepancy, additive, no rejection."""
+    phi = 2.
+    for _ in range(64):
+        phi = (1. + phi) ** (1. / (d + 1.))
+    alpha = (1. / phi) ** (1. + np.arange(d))
+    u0 = np.random.default_rng(seed).uniform(size=d)
+    n = np.arange(1, int(n) + 1)[:, None]
+    return (u0 + n * alpha) % 1.
+
+
 class QMCSampler(BasePosteriorSampler):
     """Quasi-Monte-Carlo sampling of the ref distributions
-    (reference samplers/qmc.py; engines sobol/halton/lhs)."""
+    (reference samplers/qmc.py; engines sobol/halton/lhs/rqrs)."""
 
     def __init__(self, likelihood, engine='sobol', **kwargs):
         super().__init__(likelihood, **kwargs)
@@ -95,6 +109,8 @@ class QMCSampler(BasePosteriorSampler):
             u = qmc.Halton(d, seed=seed).random(int(niterations))
         elif self.engine == 'lhs':
             u = qmc.LatinHypercube(d, seed=seed).random(int(niterations))
+        elif self.engine == 'rqrs':
+            u = _rqrs(d, int(niterations), seed=seed)
         else:
             raise ValueError('unknown engine {}'.format(self.engine))
         pts = np.empty_like(u)

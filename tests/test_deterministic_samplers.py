@@ -51,7 +51,7 @@ def test_grid_sampler_solved_bookkeeping(like):
     assert lps.max() - lps.min() > 1.
 
 
-@pytest.mark.parametrize('engine', ['sobol', 'halton', 'lhs'])
+@pytest.mark.parametrize('engine', ['sobol', 'halton', 'lhs', 'rqrs'])
 def test_qmc_sampler_engines(like, engine):
     sampler = QMCSampler(like, engine=engine, seed=4)
     samples = sampler.run(niterations=16, evaluate=(engine == 'sobol'))
@@ -89,3 +89,16 @@ def test_importance_sampler_reweight():
     same = ImportanceSampler(like0, seed=7).run(chain)
     ws = np.asarray(same['aweight']).reshape(-1)
     assert ws.std() / ws.mean() < 0.02, (ws.std(), ws.mean())
+
+
+def test_rqrs_low_discrepancy():
+    """R_d sequence sanity (reference qmc.py RQuasiRandomSequence): points in
+    [0,1)^d, additive recurrence, and better-than-random 1D uniformity."""
+    from desilike_tpu.samplers.deterministic import _rqrs
+    u = _rqrs(3, 512, seed=1)
+    assert u.shape == (512, 3) and np.all((u >= 0) & (u < 1))
+    # star-discrepancy proxy: max gap between sorted samples per dim is
+    # ~1/n for a low-discrepancy sequence (vs ~log(n)/n for random)
+    for i in range(3):
+        gaps = np.diff(np.sort(u[:, i]))
+        assert gaps.max() < 5. / 512
