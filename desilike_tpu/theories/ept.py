@@ -98,6 +98,10 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
                                   prior=dict(dist='norm', loc=0., scale=5.),
                                   ref=dict(dist='norm', loc=0., scale=1.),
                                   latex=r'\mathrm{SN}_2')
+            params['sn4p'] = dict(value=0., fixed=True,  # ref fixes sn4 by default
+                                  prior=dict(dist='norm', loc=0., scale=5.),
+                                  ref=dict(dist='norm', loc=0., scale=1.),
+                                  latex=r'\mathrm{SN}_4')
             if freedom == 'min':
                 for name in ('bsp', 'b3p'):
                     params[name].update(value=0., fixed=True)
@@ -120,6 +124,9 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
                 ref=dict(dist='norm', loc=0., scale=1.), delta=0.5, latex='c_{{t,{:d}}}'.format(ell))
         params['sn2_2'] = dict(value=0., prior=dict(dist='norm', loc=0., scale=10.),
                                ref=dict(dist='norm', loc=0., scale=0.1), latex='s_{n,2}')
+        params['sn4_2'] = dict(value=0., fixed=True,  # ref fixes sn4 by default
+                               prior=dict(dist='norm', loc=0., scale=10.),
+                               ref=dict(dist='norm', loc=0., scale=0.1), latex='s_{n,4}')
         # reference freedom presets (full_shape.py:1102-1116), mapped to the
         # Eulerian basis: 'min' fixes the quadratic-and-up bias freedom,
         # 'max' opens it with wide flat priors (ct/sn keep their Gaussian
@@ -407,6 +414,7 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
                 pkmu = pkmu + params.get(name, 0.) * row
             # stochastic: SN_n x fsat sigv^n, shot-noise units (ref :1307)
             sn2 = params.get('sn2p', 0.) * self.fsat * self.sigv ** 2
+            sn4 = params.get('sn4p', 0.) * self.fsat * self.sigv ** 4
         else:
             for name in self.ct_names:
                 ell = self.ct_ells[name]
@@ -415,9 +423,11 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
                 self._ct_bases[name] = self.to_poles(jnp.broadcast_to(basis_mu, pkmu.shape))
                 pkmu = pkmu + ct * basis_mu
             sn2 = params.get('sn2_2', 0.)
+            sn4 = params.get('sn4_2', 0.)
         # stochastic terms
         k_ = self.k[:, None]
-        pkmu = pkmu + (sn0 + sn2 * k_ ** 2 * self.mu ** 2) / self.nd
+        k2mu2 = k_ ** 2 * self.mu ** 2
+        pkmu = pkmu + (sn0 + sn2 * k2mu2 + sn4 * k2mu2 ** 2) / self.nd
         self.power = self.to_poles(pkmu)
         # linear poles for diagnostics / pk11 consumers
         self.pktable = {'pk11': self.to_poles(jnp.broadcast_to(plin_ct, pkmu.shape))}

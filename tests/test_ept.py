@@ -200,3 +200,28 @@ def test_ept_freedom_presets():
         prior_basis='physical', freedom='min')
     names = set(Pipeline(physmin).varied_params.names())
     assert 'bsp' not in names and 'b3p' not in names and 'b2p' in names
+
+
+def test_ept_sn4_stochastic():
+    """sn4 (k^4 mu^4) stochastic term (reference velocileptors basis sn0/sn2/
+    sn4): fixed by default, moves the hexadecapole when freed, fsat sigv^4
+    scaling in the physical basis."""
+    from desilike_tpu.core import Pipeline
+    m = EPTTracerPowerSpectrumMultipoles(
+        ells=(0, 2, 4), template=ShapeFitPowerSpectrumTemplate(z=0.8))
+    pipe = Pipeline(m)
+    assert 'sn4_2' not in pipe.varied_params.names()
+    pipe.evaluate({'b1': 1.7})
+    p0 = np.asarray(m.power).copy()
+    pipe.evaluate({'b1': 1.7, 'sn4_2': 0.5})
+    p1 = np.asarray(m.power)
+    assert not np.allclose(p1[2], p0[2], rtol=1e-6)
+    m2 = EPTTracerPowerSpectrumMultipoles(
+        ells=(0, 2, 4), template=ShapeFitPowerSpectrumTemplate(z=0.8),
+        prior_basis='physical', tracer='LRG')
+    pipe2 = Pipeline(m2)
+    pipe2.evaluate({'b1p': 1.3, 'sn4p': 0.5})
+    pa = np.asarray(m2.power).copy()
+    pipe2.evaluate({'b1p': 1.3, 'sn4p': 0.0})
+    pb = np.asarray(m2.power)
+    assert not np.allclose(pa[2], pb[2], rtol=1e-6)
