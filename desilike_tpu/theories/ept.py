@@ -58,7 +58,21 @@ def physical_stochastic_settings(tracer=None):
 
 class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, WedgesMixin):
     """1-loop EPT biased-tracer multipoles with AP and exact-marginalizable
-    counter/stochastic terms."""
+    counter/stochastic terms.
+
+    Two parameter bases (reference full_shape.py:1119-1134, 1299-1307):
+
+    - ``prior_basis='eulerian'`` (default): b1/b2/bs/b3nl McDonald-Roy
+      biases, per-multipole counterterms ct{l}_2, shot-noise sn0/sn2_2/sn4_2;
+    - ``prior_basis='physical'``: the DESI-2024 convention — sigma8-scaled
+      b1p/b2p/bsp/b3p, dimensionless alpha{0,2,4}p counterterm amplitudes in
+      the velocileptors growth/bias combinations, sn{0,2,4}p stochastic
+      terms normalized by the shot noise with per-tracer ``fsat``/``sigv``
+      presets (``tracer='LRG'|'ELG'|'QSO'|'BGS'``, or explicit overrides).
+
+    ``freedom='min'|'max'`` applies the reference's parameter-freedom
+    presets in either basis.
+    """
 
     _static_linear_solved = ('sn*',)
     _klim_template = (1e-4, 20., 1200)
