@@ -21,7 +21,10 @@ K = np.linspace(0.02, 0.3, 29)
 VALUES = {'qpar': 1.02, 'qper': 0.98, 'b1': 1.8, 'sigmapar': 9., 'sigmaper': 6., 'sigmas': 2.,
           'dbeta': 1.1, 'df': 1.05, 'dm': 0.02, 'sn0': 500., 'ml0_0': 1., 'ml2_1': 0.5,
           'ct0_2': 10., 'ct2_2': 5., 'sn2': 20., 'fnl_loc': 10., 'p': 1.,
-          'b2': 0.5, 'bs': -0.2, 'alpha0': 10., 'alpha2': 5., 'sigmav': 4.}
+          'b2': 0.5, 'bs': -0.2, 'alpha0': 10., 'alpha2': 5., 'sigmav': 4.,
+          # physical (DESI-2024) basis, round 5
+          'b1p': 1.3, 'b2p': 0.5, 'bsp': -0.3, 'alpha0p': 1.5, 'alpha2p': -0.8,
+          'sn0p': 0.6, 'sn2p': -0.2}
 
 
 def build(name):
@@ -79,6 +82,11 @@ def build(name):
         return EPTTracerCorrelationFunctionMultipoles(
             ells=(0, 2), s=np.linspace(40., 140., 26),
             template=ShapeFitPowerSpectrumTemplate(z=0.8)), 'corr'
+    if name == 'ept_physical':
+        # round-5: DESI-2024 physical prior basis (LRG fsat/sigv presets)
+        return EPTTracerPowerSpectrumMultipoles(
+            ells=(0, 2), k=K, template=ShapeFitPowerSpectrumTemplate(z=0.8),
+            prior_basis='physical', tracer='LRG'), 'power'
     if name == 'eh99_pk':
         from desilike_tpu.theories import DirectPowerSpectrumTemplate
         return DirectPowerSpectrumTemplate(z=0.8, k=K, engine='eh99'), 'pk_dd'
@@ -87,7 +95,8 @@ def build(name):
 
 FAST = ['damped_bao', 'simple_bao', 'resummed_bao', 'flexible_bao', 'kaiser',
         'eft_kaiser', 'png', 'damped_bao_xi', 'bispectrum', 'eh99_pk']
-SLOW = ['ept', 'tns', 'efttns_fftlog', 'ept_xi', 'ept_resum', 'ept_xi_resum']
+SLOW = ['ept', 'tns', 'efttns_fftlog', 'ept_xi', 'ept_resum', 'ept_xi_resum',
+        'ept_physical']
 
 
 @pytest.mark.parametrize('name', FAST)
