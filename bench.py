@@ -59,7 +59,10 @@ def build():
         pipe = like.pipeline
         fn = like.logpost_fn()
 
-        batch = int(os.environ.get('DESILIKE_TPU_BENCH_BATCH', 4096))
+        # batch sweep on-chip (round 5): 4096 -> 379k, 16384 -> 467k,
+        # 32768 -> 495k evals/s, 65536 -> 272k (HBM spill) — 32768 is the
+        # single-chip optimum and matches the many-chain production regime
+        batch = int(os.environ.get('DESILIKE_TPU_BENCH_BATCH', 32768))
         rng = np.random.default_rng(0)
         values = {}
         for p in pipe.varied_params:
@@ -85,7 +88,7 @@ def measure(fn, values, batch):
     vfn = jax.vmap(lambda v: fn(v)[0])
 
     import os
-    nrep = int(os.environ.get('DESILIKE_TPU_BENCH_NREP', 2000))
+    nrep = int(os.environ.get('DESILIKE_TPU_BENCH_NREP', 250))
 
     @jax.jit
     def scan_fn(vals):

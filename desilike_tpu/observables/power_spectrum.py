@@ -46,7 +46,11 @@ class TracerPowerSpectrumMultipolesObservable(Calculator):
 
     def initialize(self, data=None, covariance=None, klim=None, k=None, ells=None,
                    wmatrix=None, kinlim=None, kin=None, kinrebin=None, ellsin=None,
-                   shotnoise=None, theory=None, fiber_collisions=None, systematic_templates=None):
+                   shotnoise=None, theory=None, fiber_collisions=None, systematic_templates=None,
+                   transform=None):
+        if transform not in (None, 'cubic'):
+            raise ValueError("transform must be None or 'cubic' (got {!r})".format(transform))
+        self.transform = transform
         from ..interop import load_power_spectrum_data
         from ..utils import is_sequence
         from .types import ObservableArray, ObservableCovariance
@@ -143,6 +147,12 @@ class TracerPowerSpectrumMultipolesObservable(Calculator):
 
     def calculate(self, **params):
         self.flattheory = self.wmatrix.flatpower
+        if self.transform == 'cubic':
+            # Gaussianization of the pk likelihood (reference
+            # power_spectrum.py:402; Wang et al. 2023, arXiv:2302.07484
+            # eq. 16): compare 3 (T/D)^(1/3) - 2 in units of the data
+            self.flattheory = (3. * (self.flattheory / jnp.asarray(self.flatdata))
+                               ** (1. / 3.) - 2.) * jnp.asarray(self.flatdata)
 
     @property
     def flatdiff(self):

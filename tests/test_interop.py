@@ -192,3 +192,38 @@ def test_end_to_end_file_workflow(tmp_path):
     assert obs.wmatrix.shotnoise == pytest.approx(1234.)
     # window output bins rebinned 0.005 -> 0.01 and matched to the data grid
     assert np.allclose(np.diff(obs.k[0]), 0.01)
+
+
+def test_cubic_transform():
+    """transform='cubic' gaussianization (reference power_spectrum.py:402,
+    arXiv:2302.07484 eq. 16): identity at theory == data, exact algebra off
+    it, and rejected values raise."""
+    import jax.numpy as jnp
+    from desilike_tpu.core import Pipeline
+    from desilike_tpu.theories import (DampedBAOWigglesTracerPowerSpectrumMultipoles,
+                                       BAOPowerSpectrumTemplate)
+    from desilike_tpu.observables import TracerPowerSpectrumMultipolesObservable
+
+    def build(transform):
+        theory = DampedBAOWigglesTracerPowerSpectrumMultipoles(
+            ells=(0,), template=BAOPowerSpectrumTemplate(z=0.8, apmode='qiso'))
+        return TracerPowerSpectrumMultipolesObservable(
+            data={'qiso': 1.0, 'b1': 2.0}, klim={0: (0.05, 0.2, 0.01)},
+            theory=theory, transform=transform)
+
+    obs = build('cubic')
+    pipe = Pipeline(obs)
+    pipe.evaluate({'qiso': 1.0, 'b1': 2.0})
+    # T == D -> (3*1 - 2) * D == D
+    np.testing.assert_allclose(np.asarray(obs.flattheory), obs.flatdata, rtol=1e-5)
+    pipe.evaluate({'qiso': 1.02, 'b1': 2.1})
+    got = np.asarray(obs.flattheory)
+    raw_obs = build(None)
+    pipe2 = Pipeline(raw_obs)
+    pipe2.evaluate({'qiso': 1.02, 'b1': 2.1})
+    raw = np.asarray(raw_obs.flattheory)
+    d = np.asarray(obs.flatdata)
+    np.testing.assert_allclose(got, (3. * (raw / d) ** (1. / 3.) - 2.) * d, rtol=2e-5)
+    assert not np.allclose(got, raw, rtol=1e-4)
+    with pytest.raises(ValueError):
+        Pipeline(build('quartic'))  # initialization is lazy
