@@ -300,14 +300,14 @@ class BOBYQAProfiler(ScipyProfiler):
 # reference name see the canonical class). Each line states the reference
 # definition site and what plays its role here. Names deliberately NOT
 # provided (no meaningful equivalent in a jit-by-default, MPI-free design):
-# CurrentMPIComm/TaskManager (desilike/mpi.py — parallel.distributed + mesh
-# sharding replace the comm layer), JittedCalculator (everything is jitted),
-# Monitor (Pipeline.profile_speed), ParameterConfig/ParameterCollectionConfig/
-# YamlLoader (io.py's YAML dialect feeds plain dicts), Info (init metadata is
-# the InitConfig), FastFisher (analytic marginalization is fused into
-# likelihoods.base), and the cosmoprimo Section shims Background/
-# Thermodynamics/Primordial/Fourier/BaseExternalEngine (host cosmology enters
-# through Cosmology(engine='external') + Pipeline.external_values instead).
+# CurrentMPIComm (desilike/mpi.py — parallel.distributed + mesh sharding
+# replace the comm layer; utils.TaskManager covers the task-splitting role),
+# ParameterConfig/ParameterCollectionConfig/YamlLoader (io.py's YAML dialect
+# feeds plain dicts), Info (init metadata is the InitConfig), FastFisher
+# (analytic marginalization is fused into likelihoods.base), and the
+# cosmoprimo Section shims Background/Thermodynamics/Primordial/Fourier/
+# BaseExternalEngine (host cosmology enters through
+# Cosmology(engine='external') + Pipeline.external_values instead).
 
 from .core.calculator import Calculator, InitConfig  # noqa: E402
 from .core.pipeline import Pipeline  # noqa: E402
@@ -384,6 +384,40 @@ BasePlanck2018ClikLikelihood = BasePlanck2018Likelihood  # planck2018_clik.py:12
 # samplers / services
 BaseDynestySampler = _NestedAlias  # dynesty.py base
 PriorCalculator = PriorFisher  # fisher.py:14 — prior curvature enters Fisher directly
+
+
+class RQuasiRandomSequence(object):
+    """Roberts' R_d additive quasi-random sequence (reference
+    samplers/qmc.py ``RQuasiRandomSequence``; scipy.qmc-style interface).
+    The production sampler path is ``QMCSampler(engine='rqrs')`` — this
+    class exposes the bare sequence for scripts that used it directly."""
+
+    def __init__(self, d=1, seed=0.5):
+        self.d = int(d)
+        # the reference seeds with a float u0 applied to every dimension;
+        # integer seeds draw u0 per dimension like QMCSampler does
+        self._seed = seed
+
+    def random(self, n=1):
+        from .samplers.deterministic import _rqrs
+        if isinstance(self._seed, float):
+            phi = 2.
+            for _ in range(64):
+                phi = (1. + phi) ** (1. / (self.d + 1.))
+            alpha = (1. / phi) ** (1. + np.arange(self.d))
+            steps = np.arange(1, int(n) + 1)[:, None]
+            return (self._seed + steps * alpha) % 1.
+        return _rqrs(self.d, int(n), seed=self._seed)
+
+
+def jit(calculator, index=None):
+    """Reference base.py ``jit(calculator)`` — wrap a sub-pipeline into one
+    compiled function. In this framework the WHOLE pipeline is traced and
+    compiled by default (``Pipeline.get_fn``), so there is nothing to wrap:
+    this returns the calculator unchanged. Kept so reference scripts that
+    call ``desilike.jit(theory)`` keep working; ``index`` is accepted and
+    ignored (sub-graph selection has no effect on an already-fused trace)."""
+    return calculator
 
 # exception names (reference io.py/parameter.py/base.py/install.py): the
 # framework raises the standard exceptions these referred to, so the aliases

@@ -1,4 +1,4 @@
-from .base import BasePosteriorSampler
+from .base import BasePosteriorSampler, Diagnostics
 from .ensemble import EnsembleSampler, EnsembleSliceSampler
 from .mcmc import MCMCSampler, BlockedMCMCSampler
 from .nuts import NUTSSampler

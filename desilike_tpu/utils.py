@@ -327,6 +327,177 @@ class TaskManager(BaseClass):
         return None
 
 
+def mkdir(dirname, **kwargs):
+    """Create directory ``dirname`` (no-op if it exists) — ref utils.mkdir."""
+    import os
+    kwargs.setdefault('exist_ok', True)
+    if dirname:
+        os.makedirs(dirname, **kwargs)
+
+
+def is_path(item):
+    """True if ``item`` is a filesystem-path-like object (str / os.PathLike)
+    — ref utils.is_path."""
+    import os
+    return isinstance(item, (str, os.PathLike))
+
+
+def import_class(clsname, pythonpath=None, registry=None):
+    """Resolve a class from ``'module.ClassName'`` (optionally rooted at
+    ``pythonpath``), a bare class name looked up in ``registry``, or pass a
+    type through unchanged — ref utils.import_class."""
+    import importlib
+    import sys
+    if isinstance(clsname, type):
+        return clsname
+    name = str(clsname)
+    if '.' in name:
+        modname, name = name.rsplit('.', 1)
+        if pythonpath is not None:
+            sys.path.insert(0, str(pythonpath))
+        try:
+            module = importlib.import_module(modname)
+        finally:
+            if pythonpath is not None:
+                sys.path.remove(str(pythonpath))
+        return getattr(module, name)
+    matches = [cls for cls in (registry or ()) if cls.__name__ == name]
+    if len(matches) == 1:
+        return matches[0]
+    if len(matches) > 1:
+        raise ImportError('multiple classes named {} in registry'.format(name))
+    raise ImportError('unknown class {}; give module_name.ClassName or a registry'.format(name))
+
+
+def rebin(array, new_shape, statistic=None):
+    """Down-bin ``array`` to ``new_shape`` (each new axis size must divide the
+    old one) by applying ``statistic`` (default: sum) over the collapsed
+    blocks — ref utils.rebin."""
+    import numpy as np
+    array = np.asarray(array)
+    if np.ndim(new_shape) == 0:
+        new_shape = (int(new_shape),)
+    new_shape = tuple(int(s) for s in new_shape)
+    if array.ndim != len(new_shape):
+        raise ValueError('cannot rebin {}-d array to {}-d shape'.format(array.ndim, len(new_shape)))
+    if statistic is None:
+        statistic = np.sum
+    shape = []
+    for new, old in zip(new_shape, array.shape):
+        if old % new != 0:
+            raise ValueError('new shape {} does not divide input shape {}'.format(new_shape, array.shape))
+        shape += [new, old // new]
+    reshaped = array.reshape(shape)
+    # collapse every block axis (odd positions), from the last to keep indices valid
+    for axis in range(len(new_shape) - 1, -1, -1):
+        reshaped = statistic(reshaped, axis=2 * axis + 1)
+    return reshaped
+
+
+def cov_to_corrcoef(cov):
+    """Correlation matrix of covariance ``cov`` (scalar input → 1) —
+    ref utils.cov_to_corrcoef."""
+    import numpy as np
+    if np.ndim(cov) == 0:
+        return 1.
+    std = np.sqrt(np.diag(cov).real)
+    return cov / std[:, None] / std[None, :]
+
+
+def subspace(X, precision=None, npcs=None, chi2min=None, fweights=None, aweights=None):
+    """Principal subspace of samples ``X`` (nsamples, ndim), optionally
+    whitened by ``precision`` (arXiv:2009.03311 compression): returns the
+    (ndim, npcs) projection onto the leading eigenvectors of the (whitened)
+    sample covariance. ``chi2min`` picks the smallest number of trailing
+    components whose cumulative eigenvalue sum stays above it —
+    ref utils.subspace."""
+    import numpy as np
+    X = np.asarray(X).reshape(np.shape(X)[0], -1)
+    L = np.linalg.cholesky(precision) if precision is not None else np.array(1.)
+    Xw = X.dot(L) if precision is not None else X
+    cov = np.cov(Xw, rowvar=False, ddof=0, fweights=fweights, aweights=aweights)
+    eigenvalues, eigenvectors = np.linalg.eigh(np.atleast_2d(cov))
+    if npcs is None:
+        npcs = (len(eigenvalues) if chi2min is None
+                else len(eigenvalues) - int(np.sum(np.cumsum(eigenvalues) < chi2min)))
+    if npcs > len(eigenvalues):
+        raise ValueError('requested {} components > dimension {}'.format(npcs, len(eigenvalues)))
+    basis = eigenvectors[..., len(eigenvalues) - npcs:]
+    return L.dot(basis) if precision is not None else basis
+
+
+def weights_trapz(x):
+    """Trapezoidal integration weights for nodes ``x`` — ref utils.weights_trapz."""
+    import numpy as np
+    x = np.asarray(x, dtype='f8')
+    if x.size == 0:
+        return np.array(1.)
+    if x.size == 1:
+        return np.ones(1)
+    w = np.zeros_like(x)
+    dx = np.diff(x)
+    w[:-1] += dx / 2.
+    w[1:] += dx / 2.
+    return w
+
+
+def weights_leggauss(nx, sym=False):
+    """Gauss-Legendre nodes/weights on [-1, 1]; with ``sym=True`` fold a
+    2*nx rule onto the non-negative half axis (for integrands even in x) —
+    ref utils.weights_leggauss."""
+    import numpy as np
+    x, w = np.polynomial.legendre.leggauss((1 + bool(sym)) * int(nx))
+    if sym:
+        x, w = x[nx:], (w[nx:] + w[nx - 1::-1]) / 2.
+    return x, w
+
+
+def weights_mu(mu, method='leggauss'):
+    """mu nodes/weights on [0, 1] for multipole projection: int count of
+    nodes or explicit node array (method='trapz') — ref utils.weights_mu."""
+    import numpy as np
+    if method == 'trapz':
+        if np.ndim(mu) == 0:
+            mu = np.linspace(0., 1., int(mu))
+        mu = np.asarray(mu, dtype='f8')
+        return mu, weights_trapz(mu) / (mu[-1] - mu[0])
+    if method == 'leggauss':
+        if np.ndim(mu) != 0:
+            raise ValueError('leggauss takes a node count, not a node array')
+        return weights_leggauss(int(mu), sym=True)
+    raise ValueError('unknown mu-integration method {}'.format(method))
+
+
+def matrix_lininterp(xin, xout):
+    """(nin, nout) linear-interpolation matrix in the reference's convention
+    (f(xout) ~= f(xin) @ M; ref utils.matrix_lininterp). The observables
+    layer's ``window.matrix_lininterp`` uses the transposed (nout, nin)
+    layout — this wrapper adapts it and zeroes out-of-range columns as the
+    reference does (no constant extrapolation)."""
+    import numpy as np
+    from .observables.window import matrix_lininterp as _lininterp
+    xin = np.asarray(xin, dtype='f8')
+    xout = np.asarray(xout, dtype='f8')
+    M = _lininterp(xout, xin).T
+    inside = (xout >= xin[0]) & (xout <= xin[-1] + 1e-12 * max(abs(xin[-1]), 1.))
+    return M * inside[None, :]
+
+
+def inv(mat, check_valid='raise'):
+    """Stable matrix inverse — re-export of ops.linalg.inv (ref utils.inv)."""
+    from .ops.linalg import inv as _inv
+    return _inv(mat, check_valid=check_valid)
+
+
+def blockinv(blocks, inv=None):
+    """Block-matrix inverse — re-export of ops.linalg.blockinv (ref utils.blockinv)."""
+    import numpy as np
+    from .ops.linalg import blockinv as _blockinv
+    if inv is None:
+        inv = np.linalg.inv
+    return _blockinv(blocks, inv=inv)
+
+
 def forward_module_getattr(*providers):
     """Module ``__getattr__`` (PEP 562) forwarding attribute lookups to
     ``providers`` (module paths, tried in order). Used by the reference

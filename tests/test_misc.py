@@ -386,3 +386,67 @@ def test_subclassing_base_exports():
     from desilike_tpu.observables.galaxy_clustering import (  # shim path
         BaseFiberCollisionsPowerSpectrumMultipoles as ShimFC)
     assert ShimFC is BaseFiberCollisionsPowerSpectrumMultipoles
+
+
+def test_utils_numeric_helpers():
+    """Reference utils.py numeric helpers (rebin/cov_to_corrcoef/weights_mu/
+    matrix_lininterp/subspace/inv/blockinv) resolve from desilike_tpu.utils
+    with the reference's conventions (ref utils.py:rebin, subspace,
+    weights_mu, matrix_lininterp)."""
+    import numpy as np
+    from desilike_tpu import utils
+
+    m = np.arange(100).reshape(10, 10)
+    n = utils.rebin(m, (5, 5))
+    assert n[0, 0] == 22 and n[-1, -1] == 374
+    assert utils.rebin(np.arange(6), 3, statistic=np.mean).tolist() == [0.5, 2.5, 4.5]
+
+    cc = utils.cov_to_corrcoef(np.array([[4., 1.], [1., 9.]]))
+    assert np.allclose(np.diag(cc), 1.) and np.isclose(cc[0, 1], 1. / 6.)
+    assert utils.cov_to_corrcoef(3.) == 1.
+
+    mu, w = utils.weights_mu(10)
+    assert np.isclose(np.sum(w * mu ** 4), 1. / 5.)  # exact for polynomials
+    mu2, w2 = utils.weights_mu(np.linspace(0., 1., 101), method='trapz')
+    assert abs(np.sum(w2 * mu2 ** 2) - 1. / 3.) < 1e-3
+
+    xin = np.linspace(0., 1., 11)
+    xout = np.array([0.05, 0.5, 0.95, 2.0])
+    M = utils.matrix_lininterp(xin, xout)  # reference layout: (nin, nout)
+    assert M.shape == (11, 4)
+    out = (xin * 2 + 1) @ M
+    assert np.allclose(out[:3], xout[:3] * 2 + 1)
+    assert out[3] == 0.  # out-of-range column zeroed, as the reference does
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=2000)
+    X = np.stack([a, a + 0.01 * rng.normal(size=2000)], axis=1)
+    v = utils.subspace(X, npcs=1)
+    assert v.shape == (2, 1) and abs(abs(v[0, 0]) - abs(v[1, 0])) < 0.05
+
+    A = np.array([[2., 0.3], [0.3, 1.]])
+    assert np.allclose(utils.inv(A) @ A, np.eye(2), atol=1e-10)
+    B = utils.blockinv([[A, np.zeros((2, 2))], [np.zeros((2, 2)), A]])
+    assert np.allclose(B[:2, :2], np.linalg.inv(A))
+
+    assert utils.import_class('desilike_tpu.utils.Monitor') is utils.Monitor
+    assert utils.import_class('Monitor', registry={utils.Monitor}) is utils.Monitor
+    assert utils.is_path('x') and not utils.is_path(3)
+
+
+def test_compat_service_names():
+    """Round-5 compat additions: Diagnostics export, jit pass-through,
+    RQuasiRandomSequence (ref samplers/base.py Diagnostics, base.py jit,
+    samplers/qmc.py RQuasiRandomSequence)."""
+    import numpy as np
+    from desilike_tpu.samplers import Diagnostics
+    assert issubclass(Diagnostics, dict)
+    import desilike_tpu.compat as compat
+    sentinel = object()
+    assert compat.jit(sentinel) is sentinel
+    seq = compat.RQuasiRandomSequence(d=3, seed=0.5)
+    pts = seq.random(64)
+    assert pts.shape == (64, 3) and (pts >= 0).all() and (pts < 1).all()
+    # low-discrepancy: 1d projections cover [0,1) evenly
+    hist, _ = np.histogram(pts[:, 0], bins=4, range=(0., 1.))
+    assert hist.min() >= 12
