@@ -30,9 +30,16 @@ class Differentiation(BaseClass):
     order : int or dict name -> int
         Maximum derivative order (total, mixed partials included).
     method : 'auto' or 'finite'
+    delta_scale : float
+        Global multiplier on the per-parameter finite-difference steps
+        (reference differentiation.py:185 keyword; no effect on autodiff).
+    mpicomm
+        Accepted for reference compatibility and ignored — the FD grid is
+        vmapped on device instead of scattered over MPI ranks.
     """
 
-    def __init__(self, calculator, getter=None, order=1, method='auto', accuracy=2):
+    def __init__(self, calculator, getter=None, order=1, method='auto', accuracy=2,
+                 delta_scale=1., mpicomm=None):
         self.calculator = calculator
         self.pipeline = calculator.pipeline
         self.varied_params = self.pipeline.varied_params
@@ -46,6 +53,7 @@ class Differentiation(BaseClass):
         self.order = order
         self.method = method
         self.accuracy = int(accuracy)
+        self.delta_scale = float(delta_scale)
 
     def _fn(self):
         pipe = self.pipeline
@@ -125,6 +133,7 @@ class Differentiation(BaseClass):
         deltas = np.empty(len(self.names))
         for i, p in enumerate(self.varied_params):
             delta = p.delta if np.ndim(p.delta) == 0 and p.delta else (p.proposal or 0.01) / 10.
+            delta = delta * getattr(self, 'delta_scale', 1.)
             lims = p.prior.limits if p.prior is not None else (-np.inf, np.inf)
             center = float(theta0[i])
             room = min(center - lims[0] if np.isfinite(lims[0]) else np.inf,

@@ -225,8 +225,15 @@ class TaylorEmulatorEngine(BaseEmulatorEngine):
 
     name = 'taylor'
 
-    def __init__(self, order=3):
+    def __init__(self, order=3, method='auto', accuracy=2, delta_scale=1.):
+        """``method``/``accuracy``/``delta_scale`` configure the underlying
+        :class:`Differentiation` (reference emulators/__init__.py:430 forwards
+        the same keywords) — method='finite' fits the Taylor series from
+        central differences for non-differentiable calculators."""
         self.order = int(order)
+        self.method = str(method)
+        self.accuracy = int(accuracy)
+        self.delta_scale = float(delta_scale)
 
     def set_samples(self, emulator):
         self._samples_ready = True
@@ -239,7 +246,10 @@ class TaylorEmulatorEngine(BaseEmulatorEngine):
             state = calc.__getstate__()
             return jnp.concatenate([jnp.asarray(state[k]).reshape(-1) for k in emulator.varied_names])
 
-        diff = Differentiation(calc, getter=getter, order=self.order, method='auto')
+        diff = Differentiation(calc, getter=getter, order=self.order,
+                               method=getattr(self, 'method', 'auto'),
+                               accuracy=getattr(self, 'accuracy', 2),
+                               delta_scale=getattr(self, 'delta_scale', 1.))
         result = diff()['value']
         self.center = jnp.asarray(emulator.center)
         self.derivs = [dict(d) for d in result.derivs]

@@ -131,7 +131,13 @@ class Fisher(BaseClass):
     via jax.hessian.
     """
 
-    def __init__(self, likelihood, method='auto'):
+    def __init__(self, likelihood, method='auto', accuracy=2, delta_scale=1., mpicomm=None):
+        """``method='finite'`` computes the design matrix / hessian by
+        central finite differences through :class:`Differentiation` (for
+        pipelines with non-differentiable host-eval nodes); ``accuracy`` and
+        ``delta_scale`` configure that branch (reference fisher.py:642
+        keywords). ``mpicomm`` is accepted and ignored — the FD grid is
+        evaluated on device, not scattered over MPI ranks."""
         self.likelihood = likelihood
         self.pipeline = likelihood.pipeline
         self.varied_params = ParameterCollection(
@@ -139,6 +145,8 @@ class Fisher(BaseClass):
             + [p.clone(derived=False, fixed=False) for p in self.pipeline.solved_params])
         self.names = self.varied_params.names()
         self.method = method
+        self.accuracy = int(accuracy)
+        self.delta_scale = float(delta_scale)
 
     def __call__(self, **params):
         center = {p.name: p.value for p in self.varied_params}
@@ -158,8 +166,11 @@ class Fisher(BaseClass):
                 pipe.run_once(full)
                 return jnp.concatenate([like.flatdiff_white for like in likelihoods])
 
-            J = jax.jacfwd(flatdiffs)(theta0)            # (ndata, ndim)
             d = flatdiffs(theta0)
+            if self.method == 'finite':
+                J = self._fd_jacobian(flatdiffs, theta0)
+            else:
+                J = jax.jacfwd(flatdiffs)(theta0)        # (ndata, ndim)
             J = np.asarray(J, dtype='f8')
             H_like = -(J.T @ J)
             g_like = -(J.T @ np.asarray(d, dtype='f8'))
@@ -170,9 +181,74 @@ class Fisher(BaseClass):
                 pipe.run_once(full)
                 return sum(like.loglikelihood for like in likelihoods)
 
-            H_like = np.asarray(jax.hessian(loglike)(theta0), dtype='f8')
-            g_like = np.asarray(jax.grad(loglike)(theta0), dtype='f8')
+            if self.method == 'finite':
+                g_like, H_like = self._fd_grad_hessian(loglike, theta0)
+            else:
+                H_like = np.asarray(jax.hessian(loglike)(theta0), dtype='f8')
+                g_like = np.asarray(jax.grad(loglike)(theta0), dtype='f8')
 
         H_prior = PriorFisher.hessian(self.varied_params, theta0)
         H = H_like + H_prior
         return LikelihoodFisher(np.asarray(theta0), self.varied_params, H, gradient=g_like)
+
+    def _fd_deltas(self, theta0):
+        """Per-parameter central-difference steps: param.delta (or
+        proposal / 10) scaled by ``delta_scale``, shrunk to keep every
+        stencil point inside the prior limits (same clamping rule as
+        Differentiation._clamped_deltas)."""
+        reach = 2. if self.accuracy >= 4 else 1.
+        deltas = np.empty(len(self.names))
+        for i, p in enumerate(self.varied_params):
+            delta = p.delta if np.ndim(p.delta) == 0 and p.delta else (p.proposal or 0.01) / 10.
+            delta = float(delta) * self.delta_scale
+            lims = p.prior.limits if p.prior is not None else (-np.inf, np.inf)
+            center = float(theta0[i])
+            room = min(center - lims[0] if np.isfinite(lims[0]) else np.inf,
+                       lims[1] - center if np.isfinite(lims[1]) else np.inf)
+            deltas[i] = min(delta, max(room, 0.) / reach * (1. - 1e-9)) if np.isfinite(room) else delta
+        return deltas
+
+    def _fd_jacobian(self, fn, theta0):
+        """Central-difference Jacobian of a vector function (accuracy 2 or 4)."""
+        theta0 = np.asarray(theta0, dtype='f8')
+        deltas = self._fd_deltas(theta0)
+
+        def at(i, mult):
+            t = theta0.copy()
+            t[i] += mult * deltas[i]
+            return np.asarray(fn(jnp.asarray(t)), dtype='f8')
+
+        cols = []
+        for i in range(len(theta0)):
+            if self.accuracy >= 4:
+                col = (at(i, -2) - 8. * at(i, -1) + 8. * at(i, 1) - at(i, 2)) / (12. * deltas[i])
+            else:
+                col = (at(i, 1) - at(i, -1)) / (2. * deltas[i])
+            cols.append(col)
+        return np.stack(cols, axis=-1)
+
+    def _fd_grad_hessian(self, fn, theta0):
+        """Central-difference gradient and full hessian of a scalar function
+        (diagonal: second-order stencil; off-diagonal: product stencil)."""
+        theta0 = np.asarray(theta0, dtype='f8')
+        deltas = self._fd_deltas(theta0)
+        n = len(theta0)
+
+        def at(offsets):
+            t = theta0.copy()
+            for i, mult in offsets:
+                t[i] += mult * deltas[i]
+            return float(fn(jnp.asarray(t)))
+
+        f0 = at(())
+        g = np.empty(n)
+        H = np.empty((n, n))
+        for i in range(n):
+            fp, fm = at(((i, 1),)), at(((i, -1),))
+            g[i] = (fp - fm) / (2. * deltas[i])
+            H[i, i] = (fp - 2. * f0 + fm) / deltas[i] ** 2
+            for j in range(i):
+                H[i, j] = H[j, i] = (at(((i, 1), (j, 1))) - at(((i, 1), (j, -1)))
+                                     - at(((i, -1), (j, 1))) + at(((i, -1), (j, -1)))) \
+                    / (4. * deltas[i] * deltas[j])
+        return g, H

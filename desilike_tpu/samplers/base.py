@@ -51,7 +51,11 @@ class BasePosteriorSampler(BaseClass):
     """Common machinery: flat-vector posterior, ref-distribution starts."""
 
     def __init__(self, likelihood, seed=42, max_tries=1000, save_fn=None, chains=None,
-                 mesh=None):
+                 mesh=None, mpicomm=None, ref_scale=None, rng=None):
+        # mpicomm / rng are accepted for reference-script compatibility and
+        # ignored: chain parallelism is a sharded mesh axis (mesh=), randomness
+        # is the counter-based `seed`. ref_scale widens the start distribution.
+        self.ref_scale = float(ref_scale) if ref_scale is not None else 1.
         self.likelihood = likelihood
         self.pipeline = likelihood.pipeline
         self.varied_params = self.pipeline.varied_params
@@ -156,7 +160,16 @@ class BasePosteriorSampler(BaseClass):
             n = int(todo.sum())
             draws = []
             for p in self.varied_params:
-                draws.append(np.asarray(p.sample_ref(self._next_key(), (n,))))
+                d = np.asarray(p.sample_ref(self._next_key(), (n,)))
+                if self.ref_scale != 1.:
+                    # widen the reference distribution about the param value
+                    # (reference base.py:113 ref.affine_transform(scale=...))
+                    center = float(p.value)
+                    d = center + self.ref_scale * (d - center)
+                    lims = p.prior.limits if p.prior is not None else (-np.inf, np.inf)
+                    if np.isfinite(lims).any():
+                        d = np.clip(d, lims[0], lims[1])
+                draws.append(d)
             draws = np.column_stack(draws)
             lps = np.asarray(batch_fn(jnp.asarray(draws)))
             good = np.isfinite(lps)

@@ -16,6 +16,26 @@ class Chain(Samples):
 
     _reserved = ('logposterior', 'loglikelihood', 'logprior', 'aweight', 'fweight')
 
+    def __init__(self, data=None, params=None, logposterior=None, loglikelihood=None,
+                 logprior=None, aweight=None, fweight=None, weight=None, attrs=None):
+        """``logposterior``/``loglikelihood``/``logprior``/``aweight``/``fweight``
+        optionally give the NAMES those columns carry in ``data`` (reference
+        chain.py:99 convention); they are renamed to the canonical reserved
+        names here. ``weight`` names a total-weight column, mapped to
+        ``aweight`` (weight = aweight * fweight, fweight defaulting to 1)."""
+        super().__init__(data=data, params=params, attrs=attrs)
+        renames = {'logposterior': logposterior, 'loglikelihood': loglikelihood,
+                   'logprior': logprior, 'aweight': aweight, 'fweight': fweight}
+        if weight is not None:
+            renames.setdefault('aweight', None)
+            if str(weight) in self.data and 'aweight' not in self.data:
+                renames['aweight'] = str(weight)
+        for canonical, given in renames.items():
+            if given is not None and str(given) != canonical and str(given) in self.data:
+                self[canonical] = self.data.pop(str(given))
+                if str(given) in self.params:
+                    del self.params[str(given)]
+
     @property
     def weight(self):
         w = np.ones(self.shape)

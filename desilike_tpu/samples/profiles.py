@@ -126,7 +126,8 @@ class Profiles(BaseClass):
         nD chi2 grid scans.
     """
 
-    def __init__(self, params=None):
+    def __init__(self, params=None, attrs=None):
+        self.attrs = dict(attrs or {})
         self.params = ParameterCollection(params)
         self.bestfit = ParameterBestFit()
         self.error = {}
@@ -135,7 +136,6 @@ class Profiles(BaseClass):
         self.profile = ParameterProfiles()
         self.contour = ParameterContours()
         self.grid = ParameterGrid()
-        self.attrs = {}
 
     @property
     def start_size(self):

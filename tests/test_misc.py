@@ -450,3 +450,60 @@ def test_compat_service_names():
     # low-discrepancy: 1d projections cover [0,1) evenly
     hist, _ = np.histogram(pts[:, 0], bins=4, range=(0., 1.))
     assert hist.min() >= 12
+
+
+def test_reference_kwarg_surface():
+    """Reference keyword surface on migrated entry points (round-5 signature
+    audit): Chain column-name kwargs (ref chain.py:99), Fisher/Differentiation
+    method='finite' + accuracy/delta_scale/mpicomm (ref fisher.py:642,
+    differentiation.py:185), sampler ref_scale/mpicomm (ref samplers/
+    base.py:75), Profiles attrs, TaylorEmulatorEngine FD keywords."""
+    import numpy as np
+    import jax.numpy as jnp
+    from desilike_tpu.samples import Chain, Profiles
+    from desilike_tpu import Fisher, Differentiation
+    from desilike_tpu.likelihoods import BaseGaussianLikelihood
+    from desilike_tpu.samplers import EnsembleSampler
+    from desilike_tpu.emulators import TaylorEmulatorEngine
+
+    c = Chain(data={'a': np.arange(5.), 'lp': -np.arange(5.), 'w': 2. * np.ones(5)},
+              logposterior='lp', weight='w')
+    assert 'logposterior' in c.data and 'lp' not in c.data
+    assert np.allclose(c.weight, 2.)
+
+    class GaussianModel(BaseGaussianLikelihood):
+        _params = dict(BaseGaussianLikelihood._params)
+        _params.update({
+            'a': dict(value=1.0, prior=dict(limits=[-4, 4]), ref=dict(dist='norm', loc=1.0, scale=0.2)),
+            'b': dict(value=-0.5, prior=dict(limits=[-4, 4]), ref=dict(dist='norm', loc=-0.5, scale=0.2)),
+        })
+
+        def initialize(self, **kwargs):
+            self.x = np.linspace(-1, 1, 50)
+            super().initialize(data=1.0 * self.x - 0.5, covariance=np.eye(50) * 0.04)
+
+        def flattheory(self):
+            return self._a * jnp.asarray(self.x) + self._b
+
+        def calculate(self, a=1., b=0., **kw):
+            self._a, self._b = a, b
+            super().calculate()
+
+    like = GaussianModel()
+    H_auto = np.asarray(Fisher(like)(a=1., b=-0.5).hessian)
+    H_fd = np.asarray(Fisher(like, method='finite', accuracy=4, delta_scale=0.5,
+                             mpicomm=None)(a=1., b=-0.5).hessian)
+    np.testing.assert_allclose(H_fd, H_auto, rtol=1e-4, atol=1e-3)
+
+    d = Differentiation(like, getter=lambda: like.flattheory(), order=1,
+                        method='finite', delta_scale=2., mpicomm=None)
+    np.testing.assert_allclose(np.asarray(d()['value'][('a',)]),
+                               np.linspace(-1, 1, 50), atol=1e-3)
+
+    s = EnsembleSampler(like, nwalkers=8, seed=1, mpicomm=None, ref_scale=2.)
+    start, lp0 = s.get_start(8)
+    assert np.isfinite(np.asarray(lp0)).all()
+
+    assert Profiles(attrs={'k': 1}).attrs == {'k': 1}
+    eng = TaylorEmulatorEngine(order=1, method='finite', accuracy=2, delta_scale=1.)
+    assert eng.method == 'finite' and eng.accuracy == 2
