@@ -124,7 +124,11 @@ class GeoFPTAXTracerBispectrumMultipoles(TreeLevelBispectrumMultipoles):
     def initialize(self, k=None, z=None, template=None,
                    ells=((0, 0, 0), (2, 0, 0), (0, 2, 0), (0, 0, 2)),
                    shotnoise=None, pt=None, **kwargs):
-        for name in _PT_WRAPPER_OPTIONS + ('mu',):
+        # physical-basis options are honored by the 1-loop pk aliases but
+        # have no counterpart in the tree-level bispectrum's bias tower —
+        # swallowed here like the other wrapper-specific options
+        for name in _PT_WRAPPER_OPTIONS + ('mu', 'prior_basis', 'freedom',
+                                           'tracer', 'fsat', 'sigv'):
             kwargs.pop(name, None)
         if z is not None:
             if template is None:

@@ -213,6 +213,20 @@ class Calculator(BaseClass):
         self.__dict__.update(state)
 
     @property
+    def params(self):
+        """This calculator's own parameters (reference base.py params):
+        initializes the node on first access, like the reference's lazy
+        runtime_info; assigned directly during initialization."""
+        if '_instance_params' not in self.__dict__:
+            self.runtime_info.initialize()
+        from ..parameters import ParameterCollection
+        return self.__dict__.get('_instance_params', ParameterCollection())
+
+    @params.setter
+    def params(self, params):
+        self.__dict__['_instance_params'] = params
+
+    @property
     def all_params(self):
         """All parameters of this calculator's pipeline."""
         return self.pipeline.params

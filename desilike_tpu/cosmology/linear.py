@@ -17,9 +17,14 @@ KPIVOT_MPC = 0.05  # primordial pivot, 1/Mpc
 
 
 def primordial_curvature(p, k):
-    """Dimensionless curvature power Delta_R^2(k) = A_s (k/kp)^(ns-1); k in h/Mpc."""
+    """Dimensionless curvature power
+    Delta_R^2(k) = A_s (k/kp)^(n_s - 1 + alpha_s/2 ln(k/kp)); k in h/Mpc
+    (alpha_s the running of the spectral index, 0 by default — the
+    reference's P1D/Lya parameterization varies it, ref lya yaml)."""
     kp = KPIVOT_MPC / p['h']
-    return p['A_s'] * (jnp.asarray(k) / kp) ** (p['n_s'] - 1.)
+    lnkr = jnp.log(jnp.asarray(k) / kp)
+    tilt = p['n_s'] - 1. + 0.5 * p.get('alpha_s', 0.) * lnkr
+    return p['A_s'] * jnp.exp(tilt * lnkr)
 
 
 def pk_lin(p, k, z=0., nowiggle=False):

@@ -67,6 +67,108 @@ class LikelihoodFisher(BaseClass):
         hessian = self.hessian[np.ix_(idx, idx)]
         return LikelihoodFisher(self.center[idx], [self.params[n] for n in keep], hessian)
 
+    def _solve(self):
+        """Newton step dx with H dx = g (reference fisher.py:216)."""
+        try:
+            return np.linalg.solve(self.hessian, self.gradient)
+        except np.linalg.LinAlgError as exc:
+            raise ValueError('singular hessian for parameters {}'.format(self._names)) from exc
+
+    def mean(self, params=None, return_type='nparray'):
+        """Likelihood mean = center - H^-1 g (reference fisher.py:229)."""
+        mean = self.center - self._solve()
+        if params is not None:
+            mean = mean[self.index(params if isinstance(params, (list, tuple)) else [params])]
+            if not isinstance(params, (list, tuple)):
+                return float(mean[0])
+        if return_type == 'dict':
+            names = self._names if params is None else [getattr(p, 'name', p) for p in params]
+            return dict(zip(names, mean))
+        return mean
+
+    def chi2min(self):
+        r"""Minimum chi^2 = -2 loglike at the mean (reference fisher.py:224)."""
+        flatdiff = -self._solve()
+        return -2. * (self.offset + self.gradient.dot(flatdiff)
+                      + 0.5 * flatdiff.dot(self.hessian).dot(flatdiff))
+
+    def choice(self, index='mean', params=None, return_type='dict'):
+        """Mean point as dict/array (reference fisher.py:288)."""
+        mean = self.mean(params=params if params is not None else None)
+        names = self._names if params is None else [getattr(p, 'name', p) for p in params]
+        if return_type == 'dict':
+            return dict(zip(names, np.atleast_1d(mean)))
+        return np.atleast_1d(mean)
+
+    def var(self, params=None):
+        """Marginalized variances (reference fisher.py:394)."""
+        return np.diag(self.covariance(params if isinstance(params, (list, tuple)) or params is None
+                                       else [params]))
+
+    def corrcoef(self, params=None):
+        """Correlation matrix (reference fisher.py:390)."""
+        from .utils import cov_to_corrcoef
+        return cov_to_corrcoef(self.covariance(params))
+
+    def clone(self, center=None, params=None, gradient=None, offset=None, hessian=None):
+        """Copy with overrides (reference fisher.py:168)."""
+        return LikelihoodFisher(self.center if center is None else center,
+                                self.params if params is None else params,
+                                self.hessian if hessian is None else hessian,
+                                gradient=self.gradient if gradient is None else gradient,
+                                offset=self.offset if offset is None else offset)
+
+    def deepcopy(self):
+        import copy
+        return copy.deepcopy(self)
+
+    def shift(self, mean):
+        """Move the likelihood mean to ``mean`` by adjusting the gradient
+        (reference fisher.py:447)."""
+        gradient = self.hessian.dot(self.center - np.asarray(mean, dtype='f8'))
+        return self.clone(gradient=gradient)
+
+    def view(self, params=None):
+        """Restrict to ``params`` (conditioned precision submatrix); unknown
+        params enter with zero precision and gradient (reference fisher.py:412)."""
+        if params is None:
+            return self.deepcopy()
+        names = [getattr(p, 'name', p) for p in params]
+        n = len(names)
+        H = np.zeros((n, n))
+        g = np.zeros(n)
+        center = np.full(n, np.nan)
+        known = [(i, self._names.index(nm)) for i, nm in enumerate(names) if nm in self._names]
+        if known:
+            inew = [i for i, _ in known]
+            iold = [j for _, j in known]
+            H[np.ix_(inew, inew)] = self.hessian[np.ix_(iold, iold)]
+            g[inew] = self.gradient[iold]
+            center[inew] = self.center[iold]
+        plist = [self.params[nm] if nm in self._names else nm for nm in names]
+        return LikelihoodFisher(np.nan_to_num(center), plist, H, gradient=g, offset=self.offset)
+
+    def select(self, params=None, **kwargs):
+        """Restrict to ``params`` (or a ParameterCollection.select query)
+        (reference fisher.py:330)."""
+        if params is None:
+            params = self.params.select(**kwargs)
+        return self.view(params=params)
+
+    @classmethod
+    def read_getdist(cls, base_fn):
+        """Build from a getdist-format .covmat (reference fisher.py
+        read_getdist): F = -H = C^-1 around a zero-filled center."""
+        from .parameters import ParameterCovariance
+        return ParameterCovariance.from_getdist(base_fn).to_fisher()
+
+    def to_getdist(self, params=None, label=None):
+        """Gaussian mixture in getdist form (reference fisher.py:567)."""
+        from getdist.gaussian_mixtures import GaussianND
+        names = self._names if params is None else [getattr(p, 'name', p) for p in params]
+        return GaussianND(self.mean(params=list(names)), self.covariance(list(names)),
+                          names=names, label=label)
+
     @classmethod
     def sum(cls, *others):
         """Combine independent Fisher information (union of parameters)."""
@@ -147,6 +249,10 @@ class Fisher(BaseClass):
         self.method = method
         self.accuracy = int(accuracy)
         self.delta_scale = float(delta_scale)
+
+    def run(self, **params):
+        """Reference fisher.py name for one Fisher evaluation."""
+        return self(**params)
 
     def __call__(self, **params):
         center = {p.name: p.value for p in self.varied_params}

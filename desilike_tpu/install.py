@@ -29,8 +29,12 @@ DATA_DIR_ENV = 'DESILIKE_TPU_DATA_DIR'
 
 class Installer(BaseClass):
 
-    def __init__(self, data_dir=None, config_fn=CONFIG_FN):
+    def __init__(self, data_dir=None, config_fn=CONFIG_FN, reinstall=False):
+        # reinstall is accepted for reference compatibility: with no
+        # pip/download machinery (zero-egress build) there is nothing to
+        # force-reinstall, but install hooks may consult the flag
         self.config_fn = config_fn
+        self.reinstall = bool(reinstall)
         self.config = {}
         if os.path.exists(config_fn):
             with open(config_fn, 'r') as f:
@@ -53,6 +57,16 @@ class Installer(BaseClass):
 
     def data_fn(self, *names):
         return os.path.join(self.data_dir(), *names)
+
+    def get(self, name, default=None):
+        """Config entry lookup (reference install.py Installer.get)."""
+        return self.config.get(name, default)
+
+    @property
+    def profile_fn(self):
+        """Path of the shell profile the reference exports env config to
+        (kept for interface parity; nothing is written unless requested)."""
+        return os.path.join(os.path.dirname(self.config_fn), 'profile.sh')
 
     def write(self):
         os.makedirs(os.path.dirname(self.config_fn), exist_ok=True)

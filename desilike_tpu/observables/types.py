@@ -157,6 +157,33 @@ class ObservableArray(BaseClass):
         return ObservableArray(x=x, value=value, projs=projs_out, edges=edges,
                                weights=weights, name=self.name, attrs=self.attrs)
 
+    def slice_matrix(self, sl=None, projs=Ellipsis, select_projs=False):
+        """(new flat size, old flat size) aggregation matrix of :meth:`slice`
+        — the weighted group-average as an explicit linear map, used to
+        transform covariances consistently (C' = B C B^T)."""
+        idx = self._index_projs(projs)
+        flat_slices = self._proj_slices()
+        rows = []
+        nold = self.size
+        for i in range(len(self.projs)):
+            off = flat_slices[self.projs[i]].start
+            if i in idx:
+                start, stop, step = _as_slice(sl, len(self.x[i]))
+                n = ((stop - start) // step) * step
+                ww = self.weights[i][start:start + n].reshape(-1, step)
+                wsum = ww.sum(axis=1)
+                for g in range(ww.shape[0]):
+                    row = np.zeros(nold)
+                    cols = off + start + g * step + np.arange(step)
+                    row[cols] = ww[g] / wsum[g]
+                    rows.append(row)
+            elif not select_projs:
+                for j in range(len(self.x[i])):
+                    row = np.zeros(nold)
+                    row[off + j] = 1.
+                    rows.append(row)
+        return np.array(rows) if rows else np.zeros((0, nold))
+
     def _mask(self, i, xlim, method='mid'):
         xx = self.edges[i].mean(axis=1) if method == 'mid' else self.x[i]
         m = np.ones(len(xx), dtype=bool)
@@ -484,6 +511,28 @@ class ObservableCovariance(BaseClass):
             keep.append(np.flatnonzero(m) + offsets[i])
         keep = np.concatenate(keep)
         return ObservableCovariance(self.value[np.ix_(keep, keep)], new_obs,
+                                    nobs=self.nobs, attrs=self.attrs)
+
+    def slice(self, slice=None, observables=None, projs=Ellipsis,
+              select_observables=False, select_projs=False):
+        """Slice/rebin the covariance along given observables/projections
+        (reference types.py:165): each selected observable's bins go through
+        :meth:`ObservableArray.slice` and the covariance transforms with the
+        matching block-diagonal aggregation matrix, C' = B C B^T."""
+        from scipy.linalg import block_diag
+        idx_obs = self._observable_index(observables)
+        blocks, new_obs = [], []
+        for i, o in enumerate(self.observables):
+            if i in idx_obs:
+                new_obs.append(o.slice(slice, projs=projs, select_projs=select_projs))
+                blocks.append(o.slice_matrix(slice, projs=projs, select_projs=select_projs))
+            elif select_observables:
+                continue
+            else:
+                new_obs.append(o)
+                blocks.append(np.eye(o.size))
+        B = block_diag(*blocks)
+        return ObservableCovariance(B @ self.value @ B.T, new_obs,
                                     nobs=self.nobs, attrs=self.attrs)
 
     def xmatch(self, x, observables=None, projs=Ellipsis, method='mid'):

@@ -124,6 +124,25 @@ class ParameterCovariance(BaseClass):
         value = np.loadtxt(str(filename))
         return cls(np.atleast_2d(value), names)
 
+    # reference parameter.py names for the same operations
+    read_getdist = from_getdist
+
+    def var(self, params=None):
+        """Marginalized variances (reference parameter.py var)."""
+        idx = self.index([getattr(p, 'name', p) for p in (params or self.names())])
+        return np.diag(self._value)[idx]
+
+    def to_stats(self, params=None, sigfigs=5):
+        """Plain-text stats table: name, center, sigma (reference
+        parameter.py to_stats)."""
+        params = [getattr(p, 'name', p) for p in (params or self.names())]
+        idx = self.index(params)
+        lines = ['{:<20s} {:>14s} {:>14s}'.format('parameter', 'center', 'sigma')]
+        for i, name in zip(idx, params):
+            lines.append('{:<20s} {:>14.{s}g} {:>14.{s}g}'.format(
+                name, float(self.center[i]), float(np.sqrt(self._value[i, i])), s=sigfigs))
+        return '\n'.join(lines)
+
     def to_getdist(self, params=None, label=None):
         """getdist.gaussian_mixtures.GaussianND (for triangle overlays)."""
         params = [getattr(p, 'name', p) for p in (params or self.names())]

@@ -210,6 +210,43 @@ class Parameter(BaseClass):
 
     # --- convenience proxies ---
 
+    @property
+    def limits(self):
+        """Prior limits (reference parameter.py:909)."""
+        if self.prior is not None:
+            return tuple(self.prior.limits)
+        return (-np.inf, np.inf)
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def size(self):
+        return int(np.prod(self.shape, dtype='i8')) if self.shape else 1
+
+    def eval(self, **values):
+        """Evaluate a derived expression '{a}+{b}' given parameter values;
+        plain parameters return their own entry (reference Parameter.eval).
+        Dependencies are substituted through safe placeholder names (the same
+        scheme as Pipeline._resolve_values, core/pipeline.py:123-133)."""
+        if isinstance(self.derived, str) and not self.solved:
+            from ..utils import evaluate
+            expr = self.derived
+            locs = {}
+            for i, dep in enumerate(self.depends):
+                if dep not in values:
+                    raise ValueError('parameter {} derives from {}, not provided'.format(self.name, dep))
+                var = '__dep{}__'.format(i)
+                expr = expr.replace('{' + dep + '}', var)
+                locs[var] = values[dep]
+            return evaluate(expr, locals=locs)
+        return values[self.name]
+
+    def deepcopy(self):
+        import copy
+        return copy.deepcopy(self)
+
     def logprior(self, x):
         if self.prior is None:
             import jax.numpy as jnp
@@ -240,7 +277,11 @@ class ParameterCollection(BaseClass):
             params = [Parameter(basename=name, **(cfg if isinstance(cfg, dict) else {'value': cfg}))
                       for name, cfg in params.items()]
         for param in params:
-            self.set(Parameter(param) if not isinstance(param, Parameter) else param)
+            if isinstance(param, dict):
+                param = Parameter(**param)  # list-of-config-dicts form
+            elif not isinstance(param, Parameter):
+                param = Parameter(param)
+            self.set(param)
 
     def set(self, param):
         if not isinstance(param, Parameter):
@@ -288,6 +329,22 @@ class ParameterCollection(BaseClass):
         if kwargs:
             return [p.basename for p in self.select(**kwargs)]
         return [p.basename for p in self]
+
+    def eval(self, **values):
+        """Evaluate every parameter (incl. derived expressions) for which the
+        inputs are available → name -> value dict (reference
+        ParameterCollection.eval)."""
+        out = {}
+        for param in self:
+            try:
+                out[param.name] = param.eval(**values)
+            except (KeyError, ValueError):
+                pass
+        return out
+
+    def params(self, **kwargs):
+        """Selected parameters as a collection (reference name for select)."""
+        return self.select(**kwargs)
 
     def select(self, name=None, basename=None, varied=None, fixed=None, derived=None,
                solved=None, input=None, depends=None):

@@ -115,6 +115,88 @@ class Samples(BaseClass):
     def size(self):
         return int(np.prod(self.shape, dtype='i8')) if self.shape else 0
 
+    @property
+    def ndim(self):
+        """Number of sample dimensions (reference parameter.py Samples.ndim)."""
+        return len(self.shape)
+
+    def reshape(self, *shape):
+        """Reshape the leading sample dimensions of every column
+        (reference Samples.reshape)."""
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        new = self.copy()
+        new.data = {}
+        for name, value in self.data.items():
+            arr = np.asarray(value)
+            trailing = arr.shape[len(self.shape):]
+            new.data[name] = arr.reshape(tuple(shape) + trailing)
+        return new
+
+    def set(self, item, name=None):
+        """Set a column from an array carrying its parameter (a DerivArray /
+        (param, array) pair / plain array with ``name``) — reference
+        Samples.set."""
+        param = getattr(item, 'param', None)
+        if param is not None:
+            self[param] = item
+        elif name is not None:
+            self[name] = item
+        else:
+            raise ValueError('provide a parameter-carrying array or name=')
+
+    def update(self, other):
+        """Merge columns (and attrs) of another Samples (reference
+        Samples.update)."""
+        for name in other.names():
+            self[other.params[name] if name in other.params else name] = other[name]
+        self.attrs.update(getattr(other, 'attrs', {}))
+
+    def to_array(self, params=None, struct=True):
+        """Columns as a numpy array: structured (struct=True) or stacked
+        (nparams, ...) float array (reference Samples.to_array)."""
+        names = [getattr(p, 'name', p) for p in (params or self.names())]
+        if struct:
+            arrays = [np.asarray(self[n]) for n in names]
+            dtype = np.dtype([(n, a.dtype, a.shape[len(self.shape):]) for n, a in zip(names, arrays)])
+            out = np.empty(self.shape, dtype=dtype)
+            for n, a in zip(names, arrays):
+                out[n] = a
+            return out
+        return np.stack([np.asarray(self[n], dtype='f8') for n in names], axis=0)
+
+    def match(self, other, eps=1e-7, params=None):
+        """Row-match ``other`` against ``self`` on shared non-derived params;
+        returns (index_in_other, index_in_self) for rows closer than ``eps``
+        (reference Samples.match — used to align resumed/merged grids)."""
+        if params is None:
+            params = sorted(set(self.names()) & set(other.names()))
+        names = [getattr(p, 'name', p) for p in params]
+        from scipy import spatial
+        kdtree = spatial.cKDTree(np.column_stack(
+            [np.asarray(self[n], dtype='f8').reshape(self.size, -1)[:, 0] for n in names]))
+        queries = np.column_stack(
+            [np.asarray(other[n], dtype='f8').reshape(other.size, -1)[:, 0] for n in names])
+        dist, indices = kdtree.query(queries, k=1, distance_upper_bound=eps)
+        mask = indices < self.size
+        return (np.unravel_index(np.flatnonzero(mask), other.shape),
+                np.unravel_index(indices[mask], self.shape))
+
+    def tree_flatten(self):
+        """Pytree protocol (reference registers Samples as a jax pytree):
+        column arrays are the leaves, (names, params, attrs) the aux data."""
+        names = list(self.data)
+        return [self.data[n] for n in names], (names, self.params, self.attrs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        names, params, attrs = aux
+        new = cls()
+        new.params = params
+        new.attrs = dict(attrs)
+        new.data = dict(zip(names, children))
+        return new
+
     def ravel(self):
         new = self.copy()
         new.data = {}

@@ -45,6 +45,43 @@ class Chain(Samples):
             w = w * np.asarray(self['fweight'])
         return w
 
+    # reserved-column accessors (reference chain.py:154-192): reading creates
+    # the default column so downstream code can rely on its presence
+    @property
+    def aweight(self):
+        if 'aweight' not in self.data:
+            self['aweight'] = np.ones(self.shape, dtype='f8')
+        return self.data['aweight']
+
+    @aweight.setter
+    def aweight(self, item):
+        self['aweight'] = np.asarray(item, dtype='f8')
+
+    @property
+    def fweight(self):
+        if 'fweight' not in self.data:
+            self['fweight'] = np.ones(self.shape, dtype='i8')
+        return self.data['fweight']
+
+    @fweight.setter
+    def fweight(self, item):
+        self['fweight'] = np.asarray(item)
+
+    @property
+    def logposterior(self):
+        if 'logposterior' not in self.data:
+            self['logposterior'] = np.zeros(self.shape, dtype='f8')
+        return self.data['logposterior']
+
+    @logposterior.setter
+    def logposterior(self, item):
+        self['logposterior'] = np.asarray(item, dtype='f8')
+
+    def set_derived(self, basename, array, **kwargs):
+        """Add a derived-parameter column (reference chain.py:194)."""
+        from ..parameters import Parameter
+        self[Parameter(basename=str(basename), derived=True, **kwargs)] = np.asarray(array)
+
     def points(self, params=None):
         """(nsamples, ndim) array of flattened samples for given params."""
         params = params or [p.name for p in self.params if p.name not in self._reserved]
@@ -61,19 +98,74 @@ class Chain(Samples):
             new.data[name] = np.asarray(value)[start:]
         return new
 
-    def mean(self, param):
+    def _param_list(self, params):
+        if params is None:
+            return [p.name for p in self.params if p.name not in self._reserved]
+        return list(params)
+
+    def mean(self, param=None):
+        """Weighted mean; a single name returns a scalar, None/a list returns
+        an array over params (reference chain.py:746)."""
+        if param is None or isinstance(param, (list, tuple)):
+            return np.array([self.mean(p) for p in self._param_list(param)])
         x = np.asarray(self[param]).reshape(-1)
         return np.average(x, weights=self.weight.reshape(-1))
 
-    def std(self, param):
+    def std(self, param=None):
+        if param is None or isinstance(param, (list, tuple)):
+            return np.array([self.std(p) for p in self._param_list(param)])
         x = np.asarray(self[param]).reshape(-1)
         w = self.weight.reshape(-1)
         m = np.average(x, weights=w)
         return np.sqrt(np.average((x - m) ** 2, weights=w))
 
+    def var(self, param=None, ddof=0):
+        """Weighted variance (reference chain.py:726)."""
+        if param is None or isinstance(param, (list, tuple)):
+            return np.array([self.var(p, ddof=ddof) for p in self._param_list(param)])
+        return self.std(param) ** 2
+
+    def median(self, param=None):
+        """Weighted median (reference chain.py:761)."""
+        if param is None or isinstance(param, (list, tuple)):
+            return np.array([self.median(p) for p in self._param_list(param)])
+        return float(self.quantile(param, q=0.5)[0])
+
+    def argmax(self, param=None):
+        """Parameter value(s) at the maximum log-posterior sample
+        (reference chain.py:754)."""
+        idx = int(np.argmax(np.asarray(self.logposterior).reshape(-1)))
+        if param is None or isinstance(param, (list, tuple)):
+            return np.array([np.asarray(self[p]).reshape(-1)[idx] for p in self._param_list(param)])
+        return np.asarray(self[param]).reshape(-1)[idx]
+
+    def choice(self, index='mean', params=None, return_type='dict'):
+        """Mean ('mean') or max-posterior ('argmax') point
+        (reference chain.py:618)."""
+        names = self._param_list(params)
+        if index == 'mean':
+            values = [self.mean(p) for p in names]
+        elif index == 'argmax':
+            values = list(self.argmax(names))
+        else:
+            values = [np.asarray(self[p]).reshape(-1)[index] for p in names]
+        if return_type == 'dict':
+            return dict(zip([getattr(p, 'name', p) for p in names], values))
+        return np.array(values)
+
     def covariance(self, params=None):
         pts, names = self.points(params)
         return np.cov(pts, rowvar=False, aweights=self.weight.reshape(-1))
+
+    def corrcoef(self, params=None):
+        """Correlation matrix of the weighted samples (reference chain.py:722)."""
+        from ..utils import cov_to_corrcoef
+        return cov_to_corrcoef(self.covariance(params))
+
+    def precision(self, params=None):
+        """Inverse covariance of the weighted samples (reference chain.py:699)."""
+        from ..ops.linalg import inv
+        return inv(np.atleast_2d(self.covariance(params)))
 
     def quantile(self, param, q=(0.16, 0.84)):
         x = np.asarray(self[param]).reshape(-1)
@@ -168,6 +260,31 @@ class Chain(Samples):
         for i, name in enumerate(names[:arr.shape[1] - 2]):
             chain[name] = arr[:, 2 + i]
         return chain
+
+    @classmethod
+    def read_getdist(cls, base_fn, ichains=None, concatenate=False):
+        """Reference chain.py:391 name for the getdist reader: ``ichains``
+        selects numbered files (base_1.txt, ...); ``concatenate`` merges them
+        into one chain, else a list is returned (single chain if one file)."""
+        import glob as _glob
+        base_fn = str(base_fn)
+        if ichains is not None:
+            if np.ndim(ichains) == 0:
+                ichains = [ichains]
+            fns = ['{}_{:d}'.format(base_fn, i) for i in ichains]
+        else:
+            found = sorted(_glob.glob(base_fn + '_*.txt'))
+            fns = [fn[:-4] for fn in found] or [base_fn]
+        chains = [cls.from_getdist(fn) for fn in fns]
+        if len(chains) == 1 and ichains is None and not concatenate:
+            return chains[0]
+        if concatenate:
+            return cls.concatenate(chains, axis=0)
+        return chains
+
+    def to_stats(self, params=None, cl=0.68, **kwargs):
+        """Reference chain.py:926 name for the stats table."""
+        return self.to_stats_table(params=params, cl=cl)
 
     # --- export ---
 

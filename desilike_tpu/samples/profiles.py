@@ -137,6 +137,35 @@ class Profiles(BaseClass):
         self.contour = ParameterContours()
         self.grid = ParameterGrid()
 
+    _container_names = ('bestfit', 'error', 'covariance', 'interval', 'profile',
+                        'contour', 'grid')
+
+    def get(self, name, *default):
+        """Access a result container by name (reference profiles.py get)."""
+        return getattr(self, name, *default)
+
+    def set(self, name, item=None, **kwargs):
+        """Set a result container by name (reference profiles.py set);
+        ``set(bestfit=...)`` keyword form also accepted."""
+        if name is not None and item is not None:
+            setattr(self, str(name), item)
+        for key, value in kwargs.items():
+            setattr(self, key, value)
+
+    def items(self):
+        """(name, container) pairs of the populated results (reference
+        profiles.py items)."""
+        return [(name, getattr(self, name)) for name in self._container_names
+                if getattr(self, name, None) is not None]
+
+    def clone(self, **kwargs):
+        """Copy with container overrides."""
+        import copy
+        new = copy.deepcopy(self)
+        for key, value in kwargs.items():
+            setattr(new, key, value)
+        return new
+
     @property
     def start_size(self):
         return self.bestfit.shape[0] if self.bestfit.shape else 0

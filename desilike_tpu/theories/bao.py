@@ -276,6 +276,19 @@ class FlexibleBAOWigglesPowerSpectrumMultipoles(BaseBAOWigglesPowerSpectrumMulti
         self.power = jnp.stack(rows)
 
 
+def _adjust_model_params(pt_cls, params):
+    """Per-model deltas from the Damped default parameter set (reference
+    bao.yaml declares these per class): the resummed model has no Gaussian
+    Sigma_par/perp damping — its damping comes from the (1 - j0) pknow
+    integrals — and carries the fixed growth-scaling parameter ``d``
+    (ref bao.py:205 wiggles(..., d=1.))."""
+    if pt_cls is not None and issubclass(pt_cls, ResummedBAOWigglesPowerSpectrumMultipoles):
+        params.pop('sigmapar', None)
+        params.pop('sigmaper', None)
+        params['d'] = dict(value=1., prior=dict(limits=[0., 4.]),
+                           ref=dict(limits=[0.8, 1.2]), latex='d', fixed=True)
+
+
 class BaseBAOWigglesTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles):
     r"""BAO P_l(k) with broadband terms (reference bao.py:424).
 
@@ -288,8 +301,8 @@ class BaseBAOWigglesTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipo
     # marginalization design matrix is a compile-time constant
     _static_linear_solved = ('al*',)
 
-    @staticmethod
-    def _params(init):
+    @classmethod
+    def _params(cls, init):
         params = {
             'b1': dict(value=1.5, prior=dict(limits=[0.2, 4.]), ref=dict(limits=[1.5, 2.5]), proposal=0.1, latex='b'),
             'dbeta': dict(value=1., prior=dict(limits=[0.7, 1.3]), ref=dict(limits=[0.8, 1.2]), delta=0.02, proposal=0.1, latex=r'd\beta'),
@@ -297,6 +310,7 @@ class BaseBAOWigglesTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipo
             'sigmapar': dict(value=9., prior=dict(limits=[0.1, 10.]), latex=r'\Sigma_\parallel', fixed=True),
             'sigmaper': dict(value=6., prior=dict(limits=[0.1, 10.]), latex=r'\Sigma_\perp', fixed=True),
         }
+        _adjust_model_params(getattr(cls, '_pt_cls', None), params)
         broadband = str(init.get('broadband', 'power'))
         ells = tuple(init.get('ells', (0, 2)))
         if 'power' in broadband:
@@ -417,13 +431,15 @@ class BaseBAOWigglesCorrelationFunctionMultipoles(BaseTheoryCorrelationFunctionF
 
     _pt_power_cls = None  # set by subclasses
 
-    @staticmethod
-    def _params(init):
+    @classmethod
+    def _params(cls, init):
         # same pt-model params as the tracer wrapper, minus the broadband
         # (reference bao.py:766-857 — non-tracer classes carry the model
         # parameters; broadband lives on the Tracer wrappers)
         params = dict(BaseBAOWigglesTracerPowerSpectrumMultipoles._params(init))
-        return {name: cfg for name, cfg in params.items() if not name.startswith('al')}
+        params = {name: cfg for name, cfg in params.items() if not name.startswith('al')}
+        _adjust_model_params(getattr(cls, '_pt_power_cls', None), params)
+        return params
 
     def initialize(self, s=None, ells=(0, 2), **kwargs):
         super().initialize(s=s, power=self._pt_power_cls(), ells=ells, **kwargs)
@@ -474,12 +490,13 @@ class BaseBAOWigglesTracerCorrelationFunctionMultipoles(BaseTheoryCorrelationFun
     _pt_power_cls = DampedBAOWigglesPowerSpectrumMultipoles
     _static_linear_solved = ('al*',)
 
-    @staticmethod
-    def _params(init):
+    @classmethod
+    def _params(cls, init):
         params = dict(BaseBAOWigglesTracerPowerSpectrumMultipoles._params(init))
         # correlation-function broadband: powers of s^-2, s^-1, s^0
         for name in [n for n in params if n.startswith('al')]:
             del params[name]
+        _adjust_model_params(getattr(cls, '_pt_power_cls', None), params)
         ells = tuple(init.get('ells', (0, 2)))
         for ell in ells:
             for pow in range(-2, 1):

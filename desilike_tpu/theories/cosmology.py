@@ -172,7 +172,22 @@ class Cosmology(Calculator):
 
     def calculate(self, **params):
         p = dict(self.fiducial_values)
-        p.update({k: v for k, v in params.items() if k in p or k in ('A_s',)})
+        p.update({k: v for k, v in params.items() if k in p or k in ('A_s', 'alpha_s')})
+        # alternative input parameterizations, per the reference/cosmoprimo
+        # conventions (ref power_template.yaml declares Omega_m/N_eff/
+        # w0_fld/wa_fld on the extractors; cosmoprimo converts internally):
+        # w0_fld/wa_fld are the CLASS names of our w0_fde/wa_fde; N_eff is
+        # total radiation (N_ur + N_ncdm contributions); Omega_m overrides
+        # omega_cdm given h, omega_b and the neutrino density.
+        if 'w0_fld' in params:
+            p['w0_fde'] = params['w0_fld']
+        if 'wa_fld' in params:
+            p['wa_fde'] = params['wa_fld']
+        if 'N_eff' in params:
+            p['N_ur'] = params['N_eff'] - p.get('N_ncdm', 1) * TNCDM_NEFF
+        if 'Omega_m' in params:
+            p['omega_cdm'] = (params['Omega_m'] * p['h'] ** 2 - p['omega_b']
+                              - p['m_ncdm'] * bg.NEUTRINO_MASS_TO_OMEGA)
         if self._use_theta and 'theta_MC_100' in params:
             # solve h from 100 theta_* by Newton with AD derivatives
             # (differentiable end to end; theta_* is smooth and monotone in h).

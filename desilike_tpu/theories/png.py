@@ -19,18 +19,30 @@ class PNGTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
 
     Parameters
     ----------
-    mode : 'b-p' (vary fnl and p with b_phi = 2 dc (b1 - p)) or 'bphi'
-        (vary fnl and bphi directly).
+    mode : 'b-p' (vary fnl_loc and p with b_phi = 2 dc (b1 - p)), 'bphi'
+        (vary fnl_loc and bphi directly), or 'bfnl' (vary the product
+        bfnl_loc = b_phi f_NL directly) — the reference's three modes
+        (ref primordial_non_gaussianity.py:58-66).
     """
 
-    _params = {
-        'b1': dict(value=2., prior=dict(limits=[0., 4.]), ref=dict(dist='norm', loc=2., scale=0.1), latex='b_1'),
-        'fnl': dict(value=0., prior=dict(limits=[-300., 300.]), ref=dict(dist='norm', loc=0., scale=5.), latex=r'f_\mathrm{NL}'),
-        'p': dict(value=1., fixed=True, prior=dict(limits=[0., 3.]), latex='p'),
-        'bphi': dict(value=2., fixed=True, prior=dict(limits=[-10., 10.]), latex=r'b_\phi'),
-        'sn0': dict(value=0., prior=dict(dist='norm', loc=0., scale=2.), latex='s_{n,0}'),
-        'sigmas': dict(value=0., fixed=True, prior=dict(limits=[0., 10.]), latex=r'\Sigma_s'),
-    }
+    @staticmethod
+    def _params(init):
+        mode = str(init.get('mode', 'b-p'))
+        params = {
+            'b1': dict(value=2., prior=dict(limits=[0., 4.]), ref=dict(dist='norm', loc=2., scale=0.1), latex='b_1'),
+            'fnl_loc': dict(value=0., prior=dict(limits=[-300., 300.]), ref=dict(dist='norm', loc=0., scale=5.), latex=r'f_\mathrm{NL}^\mathrm{loc}'),
+            'p': dict(value=1., fixed=True, prior=dict(limits=[0., 3.]), latex='p'),
+            'bphi': dict(value=2., fixed=True, prior=dict(limits=[-10., 10.]), latex=r'b_\phi'),
+            'bfnl_loc': dict(value=0., prior=dict(limits=[-1e3, 1e3]), ref=dict(limits=[-50., 50.]), latex=r'b_\phi f_\mathrm{NL}^\mathrm{loc}'),
+            'sn0': dict(value=0., prior=dict(dist='norm', loc=0., scale=2.), latex='s_{n,0}'),
+            'sigmas': dict(value=0., fixed=True, prior=dict(limits=[0., 10.]), latex=r'\Sigma_s'),
+        }
+        # per-mode pruning, as the reference does (keep_params :58-66)
+        drop = {'b-p': ('bphi', 'bfnl_loc'), 'bphi': ('p', 'bfnl_loc'),
+                'bfnl': ('fnl_loc', 'bphi', 'p')}.get(mode, ())
+        for name in drop:
+            params.pop(name, None)
+        return params
 
     def initialize(self, k=None, ells=(0, 2, 4), template=None, mode='b-p', mu=8,
                    method='leggauss', shotnoise=1e4):
@@ -45,7 +57,7 @@ class PNGTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         self.nd = 1. / float(shotnoise)
         self.delta_c = 1.686
 
-    def calculate(self, b1=2., fnl=0., p=1., bphi=2., sn0=0., sigmas=0., **kw):
+    def calculate(self, b1=2., fnl_loc=0., p=1., bphi=2., bfnl_loc=0., sn0=0., sigmas=0., **kw):
         jac, kap, muap = self.template.ap_k_mu(self.k, self.mu)
         f = self.template.f_of_k(kap)
         pk = self.template.pk_dd_interp(kap)
@@ -53,11 +65,13 @@ class PNGTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         cosmo_p = getattr(getattr(self.template, 'cosmo', None), 'p', None) or self.template.fiducial
         pr = (2. * np.pi ** 2) / kap ** 3 * lin.primordial_curvature(cosmo_p, kap)
         alpha = jnp.sqrt(pk / pr)
-        if self.mode == 'bphi':
-            bphi_val = bphi
+        if self.mode == 'bfnl':
+            bfnl = bfnl_loc
+        elif self.mode == 'bphi':
+            bfnl = bphi * fnl_loc
         else:
-            bphi_val = 2. * self.delta_c * (b1 - p)
-        delta_b = bphi_val * fnl / alpha
+            bfnl = 2. * self.delta_c * (b1 - p) * fnl_loc
+        delta_b = bfnl / alpha
         fog = 1. / (1. + (sigmas * self.k[:, None] * self.mu) ** 2 / 2.) ** 2
         pkmu = jac * fog * (b1 + delta_b + f * muap ** 2) ** 2 * pk + sn0 / self.nd * 1.
         self.power = self.to_poles(pkmu)
@@ -81,15 +95,13 @@ class PNGTracerVelocityPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles
     Legendre projections exact.
     """
 
-    _params = {
-        'b1': dict(value=2., prior=dict(limits=[0., 4.]), ref=dict(dist='norm', loc=2., scale=0.1), latex='b_1'),
-        'bv': dict(value=1., prior=dict(limits=[0., 4.]), ref=dict(dist='norm', loc=1., scale=0.1), latex='b_v'),
-        'fnl': dict(value=0., prior=dict(limits=[-300., 300.]), ref=dict(dist='norm', loc=0., scale=5.), latex=r'f_\mathrm{NL}'),
-        'p': dict(value=1., fixed=True, prior=dict(limits=[0., 3.]), latex='p'),
-        'bphi': dict(value=2., fixed=True, prior=dict(limits=[-10., 10.]), latex=r'b_\phi'),
-        'sigmas': dict(value=0., fixed=True, prior=dict(limits=[0., 10.]), latex=r'\Sigma_s'),
-        'sigmau': dict(value=0., fixed=True, prior=dict(limits=[0., 10.]), latex=r'\Sigma_u'),
-    }
+    @staticmethod
+    def _params(init):
+        params = dict(PNGTracerPowerSpectrumMultipoles._params(init))
+        del params['sn0']
+        params['bv'] = dict(value=1., prior=dict(limits=[0., 4.]), ref=dict(dist='norm', loc=1., scale=0.1), latex='b_v')
+        params['sigmau'] = dict(value=0., fixed=True, prior=dict(limits=[0., 10.]), latex=r'\Sigma_u')
+        return params
 
     def initialize(self, k=None, ells=(1, 3), template=None, mode='b-p', mu=81):
         super().initialize(k=k, ells=ells)
@@ -105,15 +117,20 @@ class PNGTracerVelocityPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles
         self.wmu = self.wmu / 2.
         self.delta_c = 1.686
 
-    def calculate(self, b1=2., bv=1., fnl=0., p=1., bphi=2., sigmas=0., sigmau=0., **kw):
+    def calculate(self, b1=2., bv=1., fnl_loc=0., p=1., bphi=2., bfnl_loc=0., sigmas=0., sigmau=0., **kw):
         jac, kap, muap = self.template.ap_k_mu(self.k, self.mu)
         f = self.template.f_of_k(kap)
         pk = self.template.pk_dd_interp(kap)
         cosmo_p = getattr(getattr(self.template, 'cosmo', None), 'p', None) or self.template.fiducial
         pr = (2. * np.pi ** 2) / kap ** 3 * lin.primordial_curvature(cosmo_p, kap)
         alpha = jnp.sqrt(pk / pr)
-        bphi_val = bphi if self.mode == 'bphi' else 2. * self.delta_c * (b1 - p)
-        delta_b = bphi_val * fnl / alpha
+        if self.mode == 'bfnl':
+            bfnl = bfnl_loc
+        elif self.mode == 'bphi':
+            bfnl = bphi * fnl_loc
+        else:
+            bfnl = 2. * self.delta_c * (b1 - p) * fnl_loc
+        delta_b = bfnl / alpha
         # velocity kernel: v ~ f aH delta / k with aH/h = 100 E(z)/(1+z)
         # km/s/(Mpc/h).  (The reference primordial_non_gaussianity.py:274
         # omits E(z); we keep it so the amplitude scales correctly with z.)

@@ -255,6 +255,8 @@ class ShapeFitPowerSpectrumTemplate(BasePowerSpectrumTemplate):
             'dm': dict(value=0., prior=dict(limits=[-3., 3.]), ref=dict(limits=[-0.01, 0.01]), delta=0.01, latex='dm'),
             'dn': dict(value=0., fixed=True, prior=dict(limits=[-0.5, 0.5]), ref=dict(dist='norm', loc=0., scale=0.1), latex='dn'),
             'f_sqrt_Ap': dict(derived=True, latex=r'f A_p^{1/2}'),
+            'm': dict(derived=True, latex='m'),
+            'n': dict(derived=True, latex='n'),
         }
 
     def initialize(self, kp=0.03, a=0.6, **kwargs):
@@ -367,6 +369,7 @@ class WiggleSplitPowerSpectrumTemplate(BasePowerSpectrumTemplate):
             'df': dict(value=1., prior=dict(limits=[0., 2.]), ref=dict(limits=[0.95, 1.05]), delta=0.02, latex='df'),
             'dm': dict(value=0., prior=dict(limits=[-3., 3.]), ref=dict(limits=[-0.01, 0.01]), delta=0.01, latex='dm'),
             'qbao': dict(value=1., prior=dict(limits=[0.8, 1.2]), ref=dict(limits=[0.99, 1.01]), delta=0.008, latex=r'q_{\rm BAO}'),
+            'r': dict(derived=True, latex='r'),
         }
 
     def initialize(self, r=8., kernel='gauss', **kwargs):
@@ -456,16 +459,25 @@ class BandVelocityPowerSpectrumTemplate(BasePowerSpectrumTemplate):
 
 class TurnOverPowerSpectrumTemplate(BasePowerSpectrumTemplate):
     r"""Turn-over template (reference power_template.py:1298; arXiv:2302.07484):
-    the spectrum is dilated so the turn-over scale moves with qto and its
-    amplitude scales with pto; derived DV_times_kTO."""
+    the spectrum is the PARAMETRIC form of that paper,
+
+        P(k) = P_TO^{1 - m x^2} (k above the turn-over),
+               P_TO^{1 - n x^2} (below),   x = log10(k)/log10(k_TO) - 1,
+
+    with free shape exponents m, n, turn-over scale k_TO = qto * k_TO^fid
+    and height P_TO = dpto * P_TO^fid; derived DV_times_kTO and DH_over_DM
+    track the AP dilation."""
 
     @staticmethod
     def _params(init):
         return {
-            'qto': dict(value=1., prior=dict(limits=[0.5, 1.5]), ref=dict(limits=[0.99, 1.01]), delta=0.01, latex=r'q_{\rm TO}'),
-            'pto': dict(value=1., prior=dict(limits=[0.1, 10.]), ref=dict(limits=[0.99, 1.01]), delta=0.01, latex=r'p_{\rm TO}'),
-            'df': dict(value=1., prior=dict(limits=[0., 2.]), ref=dict(limits=[0.95, 1.05]), latex='df'),
+            'm': dict(value=0.57, prior=dict(limits=[-1., 10.]), ref=dict(limits=[0., 1.]), delta=0.01, latex='m'),
+            'n': dict(value=0.89, prior=dict(limits=[0., 10.]), ref=dict(limits=[0.5, 1.]), delta=0.01, latex='n'),
+            'qto': dict(value=1., prior=dict(limits=[0.5, 1.5]), ref=dict(limits=[0.99, 1.01]), delta=0.008, latex=r'q_{\rm TO}'),
+            'dpto': dict(value=1., fixed=True, prior=dict(limits=[0., 2.]), ref=dict(limits=[0.9, 1.1]), delta=0.01, latex=r'(P/P^{\rm fid})(k_{\rm TO})'),
+            'df': dict(value=1., fixed=True, prior=dict(limits=[0., 2.]), ref=dict(limits=[0.95, 1.05]), latex='df'),
             'DV_times_kTO': dict(derived=True, latex=r'D_V k_{\rm TO}'),
+            'DH_over_DM': dict(derived=True, latex=r'D_H/D_M'),
         }
 
     def initialize(self, **kwargs):
@@ -484,26 +496,32 @@ class TurnOverPowerSpectrumTemplate(BasePowerSpectrumTemplate):
         a = c0 + c1 + c2
         lk0 = (c0 * (lk[1] + lk[2]) + c1 * (lk[0] + lk[2]) + c2 * (lk[0] + lk[1])) / (2. * a)
         self.kto_fid = 10. ** lk0
+        # height of the parabola at the maximum
+        self.pkto_fid = 10. ** float(lp[1] - a * (lk[1] - lk0) ** 2) \
+            if np.isfinite(a) else float(pk[imax])
         p = self.fiducial
         DH = float(bg.hubble_distance(p, self.z))
         DM = float(bg.comoving_angular_distance(p, self.z))
         self.DV_fid = (DH * DM ** 2 * self.z) ** (1. / 3.) if self.z > 0 else DH
+        self.DH_over_DM_fid = DH / DM
+        self.DV_times_kTO_fid = self.DV_fid * self.kto_fid
 
-    def calculate(self, qto=1., pto=1., df=1., **params):
+    def calculate(self, df=1., m=0.57, n=0.89, qto=1., dpto=1., **params):
         super().calculate()
-        self.pk_dd = pto * self.pk_dd_interp_fid(jnp.asarray(self.k) / qto)
+        kto = self.kto_fid * qto
+        pkto = self.pkto_fid * dpto
+        x = jnp.log10(jnp.asarray(self.k)) / jnp.log10(kto) - 1.
+        # published two-branch form (ref power_template.py:1327-1336)
+        self.pk_dd = jnp.where(x > 0, pkto ** (1. - m * x ** 2), pkto ** (1. - n * x ** 2))
+        self.pknow_dd = self.pk_dd
         self.f = self.f_fid * df
         self.f0 = self.f0_fid * df
         self.fk = self.fk_fid * df
-        self.kto = self.kto_fid * qto
-        self.DV_times_kTO = self.DV_fid * self.kto
-
-    def pk_dd_interp_fid(self, k):
-        cached = self._cheb_cache.get('pk_dd_fid')
-        if cached is None:
-            cached = (self.pk_dd_fid, self._cheb.coeffs(jnp.asarray(self.pk_dd_fid)))
-            self._cheb_cache['pk_dd_fid'] = cached
-        return self._cheb.evaluate(cached[1], k)
+        self.kto = kto
+        qiso = (self.qpar * self.qper ** 2) ** (1. / 3.)
+        qap = self.qpar / self.qper
+        self.DV_times_kTO = qiso * self.DV_times_kTO_fid
+        self.DH_over_DM = qap * self.DH_over_DM_fid
 
 
 class DirectWiggleSplitPowerSpectrumTemplate(DirectPowerSpectrumTemplate):

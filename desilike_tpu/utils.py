@@ -41,6 +41,10 @@ class BaseClass(object):
         new.__dict__.update(kwargs)
         return new
 
+    def deepcopy(self):
+        import copy
+        return copy.deepcopy(self)
+
 
 def is_sequence(item):
     """True for list/tuple (not str/array)."""

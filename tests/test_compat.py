@@ -16,15 +16,15 @@ def test_png_velocity_multipoles():
     (reference primordial_non_gaussianity.py:176)."""
     th = PNGTracerVelocityPowerSpectrumMultipoles(k=np.linspace(0.005, 0.1, 20), ells=(0, 1, 3))
     pipe = th.pipeline
-    P = np.asarray(pipe.evaluate({'b1': 2., 'bv': 1., 'fnl': 0.}))
+    P = np.asarray(pipe.evaluate({'b1': 2., 'bv': 1., 'fnl_loc': 0.}))
     assert P.shape == (3, 20)
     # odd signal dominates; the even projection is quadrature noise
     assert np.abs(P[1]).max() > 1e3 * np.abs(P[0]).max()
-    P2 = np.asarray(pipe.evaluate({'b1': 2., 'bv': 1., 'fnl': 100.}))
+    P2 = np.asarray(pipe.evaluate({'b1': 2., 'bv': 1., 'fnl_loc': 100.}))
     ratio = P2[1] / P[1]
     assert np.abs(ratio[0] - 1.) > np.abs(ratio[-1] - 1.)  # low-k enhancement
     # velocity-bias linearity: P ~ bv
-    P3 = np.asarray(pipe.evaluate({'b1': 2., 'bv': 2., 'fnl': 0.}))
+    P3 = np.asarray(pipe.evaluate({'b1': 2., 'bv': 2., 'fnl_loc': 0.}))
     np.testing.assert_allclose(P3[1], 2. * P[1], rtol=1e-5)
 
 

@@ -14,8 +14,8 @@ def test_png_scale_dependent_bias():
         k=np.linspace(0.003, 0.1, 30), ells=(0,),
         template=ShapeFitPowerSpectrumTemplate(z=1.))
     pipe = theory.pipeline
-    p0 = np.asarray(pipe.evaluate({'fnl': 0., 'b1': 2.}))[0]
-    p1 = np.asarray(pipe.evaluate({'fnl': 50., 'b1': 2.}))[0]
+    p0 = np.asarray(pipe.evaluate({'fnl_loc': 0., 'b1': 2.}))[0]
+    p1 = np.asarray(pipe.evaluate({'fnl_loc': 50., 'b1': 2.}))[0]
     ratio = p1 / p0
     # scale-dependent: enhancement grows to low k (1/k^2 T)
     assert ratio[0] > ratio[-1] > 1.0
@@ -24,7 +24,7 @@ def test_png_scale_dependent_bias():
     fn = pipe.get_fn()
     vals = {p.name: jnp.asarray(p.value) for p in pipe.varied_params}
     g = jax.grad(lambda v: jnp.sum(fn(v)[0]))(vals)
-    assert np.isfinite(float(g['fnl']))
+    assert np.isfinite(float(g['fnl_loc']))
 
 
 def test_tree_bispectrum():
