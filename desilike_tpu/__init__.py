@@ -28,3 +28,4 @@ BaseCalculator = Calculator
 ParameterPrior = Prior
 from .parameters.samples import DerivArray as ParameterArray  # noqa: E402
 PipelineError = RuntimeError  # pipeline errors raise RuntimeError natively
+from . import plotting, utils  # noqa: E402  — `from desilike import plotting, utils` idiom

@@ -104,3 +104,11 @@ class SNWeightedPowerSpectrumLikelihood(BaseGaussianLikelihood):
         self.flatdiff = diff
         self.flatdiff_white = jnp.asarray(self._whiten, dtype=diff.dtype) * diff
         self.loglikelihood = -0.5 * self.flatdiff_white @ self.flatdiff_white
+
+
+def __getattr__(name):
+    # the reference re-exports the observables-Gaussian machinery from
+    # likelihoods.galaxy_clustering (ref likelihoods/galaxy_clustering/
+    # __init__.py); forward those lookups to likelihoods.base
+    from ..utils import forward_module_getattr
+    return forward_module_getattr('desilike_tpu.likelihoods')(name)

@@ -507,3 +507,32 @@ def test_reference_kwarg_surface():
     assert Profiles(attrs={'k': 1}).attrs == {'k': 1}
     eng = TaylorEmulatorEngine(order=1, method='finite', accuracy=2, delta_scale=1.)
     assert eng.method == 'finite' and eng.accuracy == 2
+
+
+def test_reference_import_path_shims():
+    """The reference notebooks' import idioms resolve (round-5 notebook
+    audit; scripts/notebook_audit.py checks all 239 mechanically):
+    desilike.base/parameter/jax/plotting/galaxy_clustering paths and the
+    `from desilike import plotting, utils` top-level form."""
+    import numpy as np
+    import desilike_tpu
+    assert desilike_tpu.plotting is not None and desilike_tpu.utils is not None
+    from desilike_tpu.base import BaseCalculator
+    from desilike_tpu.parameter import Parameter, ParameterPrior, ParameterCollection  # noqa: F401
+    from desilike_tpu.jax import numpy as jnp, interp1d, use_jax, opmask
+    from desilike_tpu.galaxy_clustering import DirectPowerSpectrumTemplate  # noqa: F401
+    from desilike_tpu.likelihoods.galaxy_clustering import ObservablesGaussianLikelihood  # noqa: F401
+    assert BaseCalculator is desilike_tpu.Calculator
+    x = np.linspace(0., 1., 10)
+    assert abs(float(interp1d(0.55, x, x ** 2)) - 0.3025) < 1e-4
+    assert use_jax(jnp.zeros(2)) and not use_jax(x)
+    out = opmask(np.arange(3.), np.array([True, False, False]), 7.)
+    assert out[0] == 7.
+    # plotter decorator: fn= saves, return value passes through
+    from desilike_tpu.plotting import plotter
+
+    @plotter
+    def fake_plot(a):
+        return {'fig': a}
+
+    assert fake_plot(3)['fig'] == 3
