@@ -32,26 +32,26 @@ def build():
 
 
 def main():
-    like = build()
-    pipe = like.pipeline
-    fn = like.logpost_fn()
-    batch = 2048
-    rng = np.random.default_rng(0)
-    values = {}
-    for p in pipe.varied_params:
-        scale = p.proposal or 0.01
-        values[p.name] = jnp.asarray(p.value + scale * 0.1 * rng.standard_normal(batch),
-                                     dtype=jnp.float32)
-    vfn = jax.jit(jax.vmap(lambda v: fn(v)[0]))
-    out = vfn(values)
-    jax.block_until_ready(out)
-    nrep = 10
-    t0 = time.perf_counter()
-    for _ in range(nrep):
-        out = vfn(values)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    evals = nrep * batch / dt
+    # measurement methodology shared with the driver bench (bench.measure):
+    # lax.scan repetition INSIDE the compiled program with iteration-
+    # dependent input perturbations — a host-side loop re-dispatching
+    # identical arguments measured an unphysical 122M evals/s through the
+    # remote-TPU runtime (BENCH_r04; see bench.py and CLAUDE.md)
+    import os
+    from desilike_tpu.config import host_eval
+    from bench import measure
+    with host_eval():
+        like = build()
+        pipe = like.pipeline
+        fn = like.logpost_fn()
+        batch = int(os.environ.get('DESILIKE_TPU_BENCH_BATCH', 8192))
+        rng = np.random.default_rng(0)
+        values = {}
+        for p in pipe.varied_params:
+            scale = p.proposal or 0.01
+            values[p.name] = np.asarray(
+                p.value + scale * 0.1 * rng.standard_normal(batch), dtype='f4')
+    evals = measure(fn, values, batch)
     print(json.dumps({'metric': 'ept_1loop_likelihood_evals_per_sec',
                       'value': round(evals, 1), 'unit': 'evals/s',
                       'vs_baseline': round(evals / 1e5, 4)}))

@@ -128,6 +128,7 @@ def main():
             tag = '' if obj is not None else ' (class-only probe)'
             print(f'{name}: missing {missing}{tag}')
     print(f'\n{problems} classes with method gaps')
+    return problems
 
 
 if __name__ == '__main__':

@@ -69,6 +69,7 @@ def main():
     print(f'{n_ok}/{n_total} notebook/doc imports resolve')
     for mod in sorted(missing):
         print(f'  {mod}: {sorted(missing[mod])}')
+    return n_total - n_ok
 
 
 if __name__ == '__main__':

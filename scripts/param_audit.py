@@ -147,6 +147,7 @@ def main():
                 problems += 1
                 print(f'{clsname}: missing param basenames {missing}')
     print(f'\n{problems} classes with param-name gaps ({len(seen)} audited)')
+    return problems
 
 
 if __name__ == '__main__':

@@ -92,6 +92,7 @@ def main():
     print(f'resolved {n_ok}/{n_total} public reference classes')
     for mod in sorted(missing):
         print(f'  {mod}: {", ".join(missing[mod])}')
+    return missing
 
 
 if __name__ == '__main__':

@@ -180,6 +180,7 @@ def main():
             problems += 1
             print(f'{name}: does not accept reference kwargs: {missing}')
     print(f'\n{problems} classes with kwarg gaps')
+    return problems
 
 
 if __name__ == '__main__':
