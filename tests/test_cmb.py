@@ -791,8 +791,10 @@ def test_clik_name_aliases():
     assert EELowlPlanck2018ClikLikelihood is EELowlPlanck2018Likelihood
     assert issubclass(TTTEEEHighlPlanck2018PlikLikelihood,
                       TTTEEEHighlPlanck2018LiteLikelihood)
-    with pytest.raises(NotImplementedError):
-        LensingPlanck2018ClikLikelihood()
+    # round 5: the clik-era lensing name aliases the native reimplementation
+    # (likelihoods/cmb/planck2018_lensing.py) instead of raising
+    from desilike_tpu.likelihoods.cmb import Planck2018LensingLikelihood
+    assert issubclass(LensingPlanck2018ClikLikelihood, Planck2018LensingLikelihood)
 
 
 def test_theta_star_quantities():
