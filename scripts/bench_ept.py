@@ -44,7 +44,12 @@ def main():
         like = build()
         pipe = like.pipeline
         fn = like.logpost_fn()
-        batch = int(os.environ.get('DESILIKE_TPU_BENCH_BATCH', 8192))
+        # batch sweep on-chip (round 5, scan methodology): 216k @ 8192,
+        # 239k @ 16384, 496k @ 32768 evals/s, OOM @ 65536 (the 1-loop
+        # intermediate would need 24 GB HBM) — small batches are bound by
+        # per-iteration kernel overheads, 32768 is compute-bound and the
+        # single-chip optimum
+        batch = int(os.environ.get('DESILIKE_TPU_BENCH_BATCH', 32768))
         rng = np.random.default_rng(0)
         values = {}
         for p in pipe.varied_params:
