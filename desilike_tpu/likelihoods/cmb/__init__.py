@@ -1,7 +1,8 @@
 """CMB likelihood family (counterpart of reference likelihoods/cmb/)."""
 
 from .base import ClTheory, synthetic_cl_tables
-from .planck2018 import (TTTEEEHighlPlanck2018LiteLikelihood, TTHighlPlanck2018LiteLikelihood,
+from .planck2018 import (BasePlanck2018Likelihood,
+                         TTTEEEHighlPlanck2018LiteLikelihood, TTHighlPlanck2018LiteLikelihood,
                          TTLowlPlanck2018Likelihood, EELowlPlanck2018Likelihood)
 from .planck2018_gaussian import (BasePlanck2018GaussianLikelihood, Planck2018GaussianLikelihood,
                                   FullGridPlanck2018GaussianLikelihood,
@@ -31,6 +32,7 @@ from .camspec import (BasePlanckNPIPECamspecLikelihood,
 # build, and the native reimplementations above are the supported path).
 # The lite/commander/simall clik names are the SAME likelihoods:
 
+BasePlanck2018ClikLikelihood = BasePlanck2018Likelihood
 TTHighlPlanck2018PlikLiteLikelihood = TTHighlPlanck2018LiteLikelihood
 TTTEEEHighlPlanck2018PlikLiteLikelihood = TTTEEEHighlPlanck2018LiteLikelihood
 TTLowlPlanck2018ClikLikelihood = TTLowlPlanck2018Likelihood

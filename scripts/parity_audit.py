@@ -18,9 +18,10 @@ REF = '/root/reference/desilike'
 # namespaces we try to resolve them in (in order).
 SKIP_DIRS = {'tests', 'examples', '__pycache__'}
 
-# Names that are deliberate scope exclusions (documented in BASELINE.md /
-# VERDICT): clik C wrapper internals, installer download machinery, MPI layer.
-EXCLUDED_SUBSTR = ('Clik', 'clik')
+# Deliberate scope exclusions (documented in BASELINE.md / VERDICT): the MPI
+# layer (GSPMD sharding replaces it).  Clik-era class names are NOT excluded:
+# they alias the native Planck 2018 reimplementations (likelihoods/cmb).
+EXCLUDED_SUBSTR = ()
 EXCLUDED_MODULES = ('mpi',)
 
 
