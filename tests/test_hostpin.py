@@ -79,5 +79,5 @@ def test_bench_build_phase_completes_on_cpu():
     with jax.default_device(devices[5]), \
             jax.transfer_guard_device_to_device('disallow'):
         fn, values, batch = bench.build()
-    assert batch == 4096
+    assert batch == 32768  # the round-5 chip-optimum default (bench.py:65)
     assert values and all(isinstance(v, np.ndarray) for v in values.values())
