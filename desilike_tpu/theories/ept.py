@@ -409,20 +409,20 @@ class EPTTracerPowerSpectrumMultipoles(BaseTheoryPowerSpectrumMultipoles, Wedges
         else:
             plin_ct = plin_ap
         # EFT counterterms: (ct_l mu^(l) pattern) k^2 P_lin
-        mu_pows = {0: 1., 2: muap ** 2, 4: muap ** 4}
+        mu_pows = {0: 1., 2: muap ** 2, 4: muap ** 4, 6: muap ** 6}
         self._ct_bases = {}
         if self.physical:
             # dimensionless alpha_n with the velocileptors-convention growth/
             # bias combinations (reference full_shape.py:1304-1305): the
             # counterterm P(k,mu) is b1^2 a0 mu^0 + f b1 (a0+a2) mu^2
-            # + f (f a2 + b1 a4) mu^4, all x k^2 P_lin — linear in the
-            # alphas given (b1, f), so each still gets an in-primal
-            # marginalization basis row
+            # + f (f a2 + b1 a4) mu^4 + f^2 a4 mu^6, all x k^2 P_lin —
+            # linear in the alphas given (b1, f), so each still gets an
+            # in-primal marginalization basis row
             f0 = self.template.f
-            bases = {n: mu_pows[n] * kap ** 2 * plin_ct * jac for n in (0, 2, 4)}
+            bases = {n: mu_pows[n] * kap ** 2 * plin_ct * jac for n in (0, 2, 4, 6)}
             rows = {'alpha0p': b1 ** 2 * bases[0] + f0 * b1 * bases[2],
                     'alpha2p': f0 * b1 * bases[2] + f0 ** 2 * bases[4],
-                    'alpha4p': f0 * b1 * bases[4]}
+                    'alpha4p': f0 * b1 * bases[4] + f0 ** 2 * bases[6]}
             for name, row in rows.items():
                 self._ct_bases[name] = self.to_poles(jnp.broadcast_to(row, pkmu.shape))
                 pkmu = pkmu + params.get(name, 0.) * row

@@ -132,8 +132,11 @@ def test_ept_physical_prior_basis():
     settings = physical_stochastic_settings('LRG')
     assert phys.fsat == settings['fsat'] and phys.sigv == settings['sigv']
 
+    # alpha4p = 0 here: its row carries an f^2 mu^6 piece (reference
+    # full_shape.py:1305) that the Eulerian ct0/ct2/ct4 basis cannot
+    # express — it is pinned analytically below instead
     vals = dict(b1p=1.3, b2p=0.5, bsp=-0.3, alpha0p=1.5, alpha2p=-0.8,
-                alpha4p=0.4, sn0p=0.6, sn2p=-0.2)
+                alpha4p=0., sn0p=0.6, sn2p=-0.2)
     pipe_p.evaluate(vals)
     pp = np.asarray(phys.power)
 
@@ -147,12 +150,49 @@ def test_ept_physical_prior_basis():
                 b3nl=0.,
                 ct0_2=b1 ** 2 * vals['alpha0p'],
                 ct2_2=f0 * b1 * (vals['alpha0p'] + vals['alpha2p']),
-                ct4_2=f0 * (f0 * vals['alpha2p'] + b1 * vals['alpha4p']),
+                ct4_2=f0 * f0 * vals['alpha2p'],
                 sn0=vals['sn0p'],
                 sn2_2=vals['sn2p'] * phys.fsat * phys.sigv ** 2)
     pipe_e.evaluate(conv)
     pe = np.asarray(eul.power)
     np.testing.assert_allclose(pp, pe, rtol=1e-4)
+
+
+def test_ept_physical_alpha4p_mu6_row():
+    """The alpha4p counterterm row is f b1 mu^4 + f^2 mu^6 (reference
+    full_shape.py:1304-1305, the velocileptors combination). With
+    resum=None and identity AP the row is separable, so its multipole
+    projection is pinned against exact Legendre coefficients."""
+    from desilike_tpu.core import Pipeline
+    import jax.numpy as jnp
+
+    phys = EPTTracerPowerSpectrumMultipoles(
+        ells=(0, 2, 4), template=ShapeFitPowerSpectrumTemplate(z=0.8),
+        prior_basis='physical', tracer='LRG', resum=None)
+    pipe = Pipeline(phys)
+    base = dict(b1p=1.3, b2p=0., bsp=0., alpha0p=0., alpha2p=0., alpha4p=0.,
+                sn0p=0., sn2p=0.)
+    pipe.evaluate(base)
+    p0 = np.asarray(phys.power, dtype='f8')
+    pipe.evaluate({**base, 'alpha4p': 1.})
+    row = np.asarray(phys.power, dtype='f8') - p0
+
+    sigma8 = float(np.asarray(phys.template.fsigma8 / phys.template.f))
+    f0 = float(np.asarray(phys.template.f))
+    b1 = base['b1p'] / sigma8
+    k = np.asarray(phys.k, dtype='f8')
+    plin = np.asarray(phys.template.pk_dd_interp(jnp.asarray(k)), dtype='f8')
+    # exact Legendre projections of mu^4 and mu^6 (Gauss-Legendre is exact
+    # for these polynomial integrands)
+    mu, w = np.polynomial.legendre.leggauss(12)
+    coeff = {}
+    for n in (4, 6):
+        for ell in (0, 2, 4):
+            leg = np.polynomial.legendre.Legendre([0] * ell + [1])(mu)
+            coeff[n, ell] = 0.5 * (2 * ell + 1) * np.sum(w * mu ** n * leg)
+    expected = np.stack([(f0 * b1 * coeff[4, ell] + f0 ** 2 * coeff[6, ell])
+                         * k ** 2 * plin for ell in (0, 2, 4)])
+    np.testing.assert_allclose(row, expected, rtol=2e-3, atol=2e-3 * np.max(np.abs(expected)))
 
 
 def test_ept_physical_marginalized_likelihood():
