@@ -123,14 +123,22 @@ class BaseLikelihood(Calculator):
         for p in prec_params:
             pipe.params[p.name].update(value=p.prior.loc if p.prior is not None else 0.)
 
-    def _static_linear_indices(self, pipe, solved):
+    def _static_linear_indices(self, pipe, solved, likelihoods=()):
         """Indices of solved params whose theory contribution is exactly
         linear with a static basis (e.g. BAO broadband towers): their design
         matrix J is a compile-time constant (SURVEY.md §7 item 5), so no
         per-evaluation tangents are needed."""
         import fnmatch
+        nonlinear = self._nonlinear_transform_calcs(likelihoods)
         static = []
         for i, p in enumerate(solved):
+            if any(p.name in calc.runtime_info.params for calc in nonlinear):
+                # the data-side transform (e.g. 'cubic' gaussianization) makes
+                # flatdiff nonlinear even in exactly-linear theory params: a
+                # unit-step secant J would be wrong — take the linearize path,
+                # which differentiates through the transform (reference
+                # behavior: FastFisher jacfwd's flatdiff per evaluation)
+                continue
             owners = pipe._param_owners.get(p.name, [])
             for owner in owners:
                 patterns = getattr(owner, '_static_linear_solved', ())
@@ -138,6 +146,20 @@ class BaseLikelihood(Calculator):
                     static.append(i)
                     break
         return static
+
+    @staticmethod
+    def _nonlinear_transform_calcs(likelihoods):
+        """Calculators inside the subgraph of any observable carrying a
+        nonlinear data-side transform (TracerPowerSpectrumMultipolesObservable
+        transform='cubic'): solved params touching these may not use static
+        design matrices or primal analytic basis rows."""
+        calcs = []
+        for like in likelihoods:
+            for obs in getattr(like, 'observables', ()):
+                if getattr(obs, 'transform', None) is not None:
+                    from ..core import Pipeline
+                    calcs.extend(Pipeline(obs).calculators)
+        return calcs
 
     def _compute_static_J(self, pipe, names, static_idx, likelihoods):
         """Exact constant design matrices via unit-step differences (exact for
@@ -229,7 +251,7 @@ class BaseLikelihood(Calculator):
                 m = (1. + B * (nd - nv)) / (1. + A + B * (nv + 1.))
                 like._whiten = like._whiten_base / np.sqrt(m)
                 like.precision = like._precision_base / m
-        static_idx = self._static_linear_indices(pipe, solved) if nsolved else []
+        static_idx = self._static_linear_indices(pipe, solved, likelihoods) if nsolved else []
         dyn_idx = [i for i in range(nsolved) if i not in static_idx]
         analytic_idx, basis_plan = self._analytic_basis_plan(pipe, solved, dyn_idx, likelihoods) if dyn_idx else ([], {})
         dyn_idx = [i for i in dyn_idx if i not in analytic_idx]
@@ -516,6 +538,11 @@ class ObservablesGaussianLikelihood(BaseGaussianLikelihood):
                 per_obs.append(None)
                 continue
             touches = True
+            if getattr(obs, 'transform', None) is not None:
+                # nonlinear data-side transform: the primal basis rows
+                # (whiten @ W @ basis) would omit the transform's chain-rule
+                # factor — fall back to linearize, which carries it exactly
+                return False
             supported = getattr(theory, 'solved_basis_names', ())
             if theory is None or param.basename not in supported:
                 return False

@@ -307,3 +307,71 @@ def test_prec_rebuild_idempotent():
     np.testing.assert_allclose(np.array(like.covariance), cov1, rtol=0, atol=0)
     v = {p.name: jnp.asarray(p.value) for p in like.pipeline.varied_params}
     np.testing.assert_allclose(float(fn1(v)[0]), float(fn2(v)[0]), rtol=1e-6)
+
+
+def test_cubic_transform_solved_uses_local_jacobian():
+    """transform='cubic' makes flatdiff NONLINEAR in exactly-linear theory
+    params (broadband al*): the solver must not use static unit-step design
+    matrices or primal analytic basis rows — it must linearize through the
+    transform (reference semantics: FastFisher jacfwd's flatdiff per eval).
+    The solved best-fits are pinned against a manual local-Jacobian Newton
+    solve; the unit-step secant J is shown to be measurably different."""
+
+    def build(solve):
+        theory = DampedBAOWigglesTracerPowerSpectrumMultipoles(ells=(0,))
+        if solve:
+            theory.init.params = {'al*': dict(derived='.marg', prior=dict(dist='norm', loc=0., scale=1e3))}
+        else:
+            theory.init.params = {'al*': dict(prior=dict(dist='norm', loc=0., scale=1e3))}
+        obs = TracerPowerSpectrumMultipolesObservable(
+            data={'b1': 2.2},   # mock at b1=2.2, evaluated at default 1.5 -> T/D != 1
+            klim={0: (0.02, 0.3, 0.01)}, theory=theory, transform='cubic')
+        return ObservablesGaussianLikelihood(
+            observables=[obs], footprints=[BoxFootprint(volume=1e10, nbar=1e-3)])
+
+    like = build(solve=True)
+    pipe = like.pipeline
+    solved = pipe.solved_params
+    assert len(solved) == 5
+    # path selection: the transform disqualifies both fast paths
+    assert like._static_linear_indices(pipe, solved, [like]) == []
+    assert like.solved_flat_basis_fn(solved[0]) is False
+    fn = like.logpost_fn()
+    vals = {p.name: jnp.asarray(p.value) for p in pipe.varied_params}
+    lp, aux = fn(vals)
+    assert np.isfinite(float(lp))
+    got = np.array([float(aux['solved'][p.name]) for p in solved])
+
+    # manual truth: local J of the WHITENED transformed residual at al=0
+    ref = build(solve=False)
+    pipe2 = ref.pipeline
+    names = [p.name for p in solved]
+
+    def fdw(overrides):
+        v = {p.name: p.value for p in pipe2.varied_params}
+        v.update(overrides)
+        pipe2.evaluate(v)
+        return np.asarray(ref._whiten, dtype='f8') @ (
+            np.asarray(ref.flattheory(), dtype='f8') - np.asarray(ref.flatdata, dtype='f8'))
+
+    d0 = fdw({})
+    eps = 1.
+    J_local = np.stack([(fdw({n: eps}) - fdw({n: -eps})) / (2 * eps) for n in names])
+    # a secant at the scale of the actual solve (dx ~ 1e3-1e4 here): the
+    # transform's nonlinearity over that range is what a static design
+    # matrix would average over
+    step = 2000.
+    J_secant = np.stack([(fdw({n: step}) - d0) / step for n in names])
+    prior_prec = np.diag(np.full(len(names), 1e-6))
+
+    def newton(J):
+        g = -J @ d0
+        H = -(J @ J.T) - prior_prec
+        return -np.linalg.solve(H, g)
+
+    dx_local = newton(J_local)
+    dx_secant = newton(J_secant)
+    err_got = np.max(np.abs(got - dx_local))
+    # the solve-scale secant genuinely differs (the test has teeth)
+    assert np.max(np.abs(dx_secant - dx_local)) > 10 * err_got
+    np.testing.assert_allclose(got, dx_local, rtol=3e-2, atol=3e-2 * np.max(np.abs(dx_local)))
