@@ -401,17 +401,31 @@ class RQuasiRandomSequence(object):
         # the reference seeds with a float u0 applied to every dimension;
         # integer seeds draw u0 per dimension like QMCSampler does
         self._seed = seed
+        self.num_generated = 0  # advances across random() calls (reference qmc.py:26-27)
+
+    def reset(self):
+        """Restart the stream (reference qmc.py:31, scipy QMCEngine API)."""
+        self.num_generated = 0
+        return self
+
+    def fast_forward(self, n):
+        """Skip ``n`` points (scipy QMCEngine API, reference qmc.py:35)."""
+        self.num_generated += int(n)
+        return self
 
     def random(self, n=1):
         from .samplers.deterministic import _rqrs
+        n = int(n)
+        start = self.num_generated
+        self.num_generated += n
         if isinstance(self._seed, float):
             phi = 2.
             for _ in range(64):
                 phi = (1. + phi) ** (1. / (self.d + 1.))
             alpha = (1. / phi) ** (1. + np.arange(self.d))
-            steps = np.arange(1, int(n) + 1)[:, None]
+            steps = np.arange(start + 1, start + n + 1)[:, None]
             return (self._seed + steps * alpha) % 1.
-        return _rqrs(self.d, int(n), seed=self._seed)
+        return _rqrs(self.d, start + n, seed=self._seed)[start:]
 
 
 def jit(calculator, index=None):

@@ -111,19 +111,18 @@ class Chain(Samples):
         x = np.asarray(self[param]).reshape(-1)
         return np.average(x, weights=self.weight.reshape(-1))
 
-    def std(self, param=None):
-        if param is None or isinstance(param, (list, tuple)):
-            return np.array([self.std(p) for p in self._param_list(param)])
-        x = np.asarray(self[param]).reshape(-1)
-        w = self.weight.reshape(-1)
-        m = np.average(x, weights=w)
-        return np.sqrt(np.average((x - m) ** 2, weights=w))
+    def std(self, param=None, ddof=1):
+        """Weighted standard deviation (reference chain.py:737; defaults to
+        ddof=1 like the reference, the numpy.cov fweights/aweights
+        convention)."""
+        return np.sqrt(self.var(param, ddof=ddof))
 
-    def var(self, param=None, ddof=0):
-        """Weighted variance (reference chain.py:726)."""
+    def var(self, param=None, ddof=1):
+        """Weighted variance (reference chain.py:726). ``ddof`` is honored
+        through the same np.cov path as :meth:`covariance`."""
         if param is None or isinstance(param, (list, tuple)):
             return np.array([self.var(p, ddof=ddof) for p in self._param_list(param)])
-        return self.std(param) ** 2
+        return float(self.covariance([param], ddof=ddof)[0, 0])
 
     def median(self, param=None):
         """Weighted median (reference chain.py:761)."""

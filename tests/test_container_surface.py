@@ -20,6 +20,11 @@ def test_chain_statistics_surface():
     np.testing.assert_allclose(chain.mean(['x', 'y']), [chain.mean('x'), chain.mean('y')])
     assert chain.median('x') == pytest.approx(1., abs=0.05)
     assert chain.var('x') == pytest.approx(0.25, rel=0.15)
+    # ddof honored and defaulting to 1, like the reference (ref chain.py:726)
+    assert chain.var('x') == pytest.approx(np.var(x, ddof=1), rel=1e-10)
+    assert chain.var('x', ddof=0) == pytest.approx(np.var(x, ddof=0), rel=1e-10)
+    assert chain.var('x', ddof=0) < chain.var('x', ddof=1)
+    assert chain.std('x', ddof=0) == pytest.approx(np.std(x, ddof=0), rel=1e-10)
     cc = chain.corrcoef(['x', 'y'])
     assert cc[0, 1] > 0.95
     P = chain.precision(['x', 'y'])

@@ -450,6 +450,19 @@ def test_compat_service_names():
     # low-discrepancy: 1d projections cover [0,1) evenly
     hist, _ = np.histogram(pts[:, 0], bins=4, range=(0., 1.))
     assert hist.min() >= 12
+    # the engine is STATEFUL like the reference / scipy QMCEngine (ref
+    # qmc.py:26-27 advances num_generated): batched draws continue the
+    # stream instead of restarting it
+    for seed in (0.5, 7):
+        a = compat.RQuasiRandomSequence(d=2, seed=seed)
+        batched = np.concatenate([a.random(5), a.random(3)])
+        whole = compat.RQuasiRandomSequence(d=2, seed=seed).random(8)
+        np.testing.assert_allclose(batched, whole, rtol=0, atol=1e-13)
+        assert a.num_generated == 8
+        a.reset()
+        np.testing.assert_allclose(a.random(5), whole[:5], rtol=0, atol=1e-13)
+        a.fast_forward(2)
+        np.testing.assert_allclose(a.random(1), whole[7:8], rtol=0, atol=1e-13)
 
 
 def test_reference_kwarg_surface():
