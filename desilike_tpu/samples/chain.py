@@ -152,9 +152,9 @@ class Chain(Samples):
             return dict(zip([getattr(p, 'name', p) for p in names], values))
         return np.array(values)
 
-    def covariance(self, params=None):
+    def covariance(self, params=None, ddof=1):
         pts, names = self.points(params)
-        return np.cov(pts, rowvar=False, aweights=self.weight.reshape(-1))
+        return np.atleast_2d(np.cov(pts, rowvar=False, aweights=self.weight.reshape(-1), ddof=ddof))
 
     def corrcoef(self, params=None):
         """Correlation matrix of the weighted samples (reference chain.py:722)."""
